@@ -1,0 +1,16 @@
+from graph_data_science_spark.algorithms.degree import degree_centrality
+from graph_data_science_spark.algorithms.labelprop import label_propagation
+from graph_data_science_spark.algorithms.pagerank import article_rank, eigenvector, pagerank
+from graph_data_science_spark.algorithms.triangles import local_clustering_coefficient, triangle_count
+from graph_data_science_spark.algorithms.wcc import wcc
+
+__all__ = [
+    "article_rank",
+    "degree_centrality",
+    "eigenvector",
+    "label_propagation",
+    "local_clustering_coefficient",
+    "pagerank",
+    "triangle_count",
+    "wcc",
+]

@@ -1,0 +1,224 @@
+"""PageRank / ArticleRank / Eigenvector as CSR-block SpMV supersteps.
+
+Semantics match GDS's delta-push Pregel PageRank exactly (reference
+``algo/.../pagerank/PageRankComputation.java``):
+
+- init (``:66-75``): every node's value starts at ``1 - d`` (personalized:
+  source nodes ``1 - d``, everything else ``0``) and the initial delta is
+  sent in superstep 0;
+- compute (``:78-99``): ``delta = d * Σ messages``; ``value += delta``;
+  if ``delta > tolerance`` send ``delta / degree`` to out-neighbors
+  (weighted: ``delta * w / Σ_out w``, positive weights only — degree rule
+  of ``DegreeCentrality.java:131-136``), else vote to halt;
+- convergence (``PartitionedComputer.java:88-93``): no messages in flight
+  and every node halted — here: no node has ``delta > tolerance``.
+- defaults d=0.85, tolerance=1e-7, maxIterations=20
+  (``PageRankConfig.java:27``, ``RankConfig.java:39,45``).
+
+Scores are GDS-style: NOT normalized to sum 1; dangling mass is not
+redistributed.
+
+ArticleRank (``ArticleRankComputation.java``) is the same loop with message
+denominator ``degree + avgDegree``. Eigenvector
+(``EigenvectorComputation.java``) is power iteration with a per-superstep
+global L2 normalization (the masterCompute analog is a driver-side agg).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graph_data_science_spark.graph.build import LinkGraph, degrees
+from graph_data_science_spark.pregel.spmv import build_blocks, spmv_messages
+from graph_data_science_spark.pregel.superstep import SuperstepLoop, edge_lineage
+
+
+@dataclass
+class RankResult:
+    scores: DataFrame  # (node_id long, score double)
+    ran_iterations: int
+    did_converge: bool
+    loop: SuperstepLoop
+
+
+def _normalized_edges(graph: LinkGraph, weighted: bool, extra_denominator: float = 0.0) -> DataFrame:
+    """edges + norm_w = w / (Σ_out w [+ extra]); unweighted w ≡ 1."""
+    e = graph.edges
+    if not weighted:
+        e = e.select("src", "dst", F.lit(1.0).alias("weight"))
+    deg = degrees(e, weighted=True)  # Σ positive weights (or count when w≡1)
+    return (
+        e.join(deg, e["src"] == deg["node_id"], "inner")
+        .filter(F.col("degree") > 0)
+        .select(
+            "src",
+            "dst",
+            (F.when(F.col("weight") > 0, F.col("weight")).otherwise(F.lit(0.0))
+             / (F.col("degree") + F.lit(float(extra_denominator)))).alias("norm_w"),
+        )
+        .filter(F.col("norm_w") != 0)
+    )
+
+
+def _rank_loop(
+    graph: LinkGraph,
+    norm_edges: DataFrame,
+    damping: float,
+    tolerance: float,
+    max_iterations: int,
+    source_nodes: list[int] | None,
+    checkpoint_dir: str | None,
+    name: str,
+    num_blocks: int | None,
+    hot_degree_threshold: int,
+) -> RankResult:
+    spark = norm_edges.sparkSession
+    n = graph.with_node_count()
+    blocked = build_blocks(
+        norm_edges, n, num_blocks=num_blocks, hot_degree_threshold=hot_degree_threshold
+    )
+    loop = SuperstepLoop(spark, name, checkpoint_dir, lineage=edge_lineage(graph.edges))
+
+    alpha = 1.0 - damping
+    resumed = loop.resume()
+    if resumed is not None:
+        state, start = resumed[0], resumed[1] + 1
+    else:
+        nodes = graph.node_ids().select(F.col("node_id").alias("node"))
+        if source_nodes is not None:
+            init = F.when(
+                F.col("node").isin([int(s) for s in source_nodes]), F.lit(alpha)
+            ).otherwise(F.lit(0.0))
+        else:
+            init = F.lit(alpha)
+        state = nodes.select("node", init.alias("rank"), init.alias("delta"))
+        state = loop.commit(state, 0, {"active": -1})
+        start = 1
+
+    # GDS superstep accounting (Pregel.java:204-242): superstep 0 is
+    # init+send, supersteps 1..maxIterations-1 are update rounds — so
+    # maxIterations=41 means 40 delta updates after the initial push.
+    converged = False
+    it = start - 1
+    for it in range(start, max_iterations):
+        active = state.filter(F.col("delta") > tolerance).select("node", F.col("delta").alias("msg_val"))
+        msgs = spmv_messages(blocked, active)
+        new_delta = F.lit(damping) * F.coalesce(F.col("msg"), F.lit(0.0))
+        state = (
+            state.join(msgs, state["node"] == msgs["dst"], "left")
+            .select(
+                "node",
+                (F.col("rank") + new_delta).alias("rank"),
+                new_delta.alias("delta"),
+            )
+        )
+        state = loop.commit(state, it, {})
+        n_active = state.filter(F.col("delta") > tolerance).count()
+        if n_active == 0:
+            converged = True
+            break
+
+    blocked.unpersist()
+    return RankResult(
+        scores=state.select(F.col("node").alias("node_id"), F.col("rank").alias("score")),
+        ran_iterations=it + 1,  # supersteps incl. the init superstep, GDS-style
+        did_converge=converged,
+        loop=loop,
+    )
+
+
+def pagerank(
+    graph: LinkGraph,
+    damping: float = 0.85,
+    tolerance: float = 1e-7,
+    max_iterations: int = 20,
+    weighted: bool = False,
+    source_nodes: list[int] | None = None,
+    checkpoint_dir: str | None = None,
+    num_blocks: int | None = None,
+    hot_degree_threshold: int = 2_000_000,
+) -> RankResult:
+    norm = _normalized_edges(graph, weighted)
+    return _rank_loop(
+        graph, norm, damping, tolerance, max_iterations, source_nodes,
+        checkpoint_dir, "pagerank", num_blocks, hot_degree_threshold,
+    )
+
+
+def article_rank(
+    graph: LinkGraph,
+    damping: float = 0.85,
+    tolerance: float = 1e-7,
+    max_iterations: int = 20,
+    weighted: bool = False,
+    source_nodes: list[int] | None = None,
+    checkpoint_dir: str | None = None,
+    num_blocks: int | None = None,
+) -> RankResult:
+    """PageRank variant: message denominator degree + avgDegree
+    (reference ArticleRankComputation.java; avg degree
+    applications/.../CentralityAlgorithms.java:389-404)."""
+    e = graph.edges if weighted else graph.edges.select("src", "dst", F.lit(1.0).alias("weight"))
+    deg = degrees(e, weighted=True)
+    avg_deg = deg.agg(F.avg("degree").alias("a")).collect()[0]["a"] or 0.0
+    norm = _normalized_edges(graph, weighted, extra_denominator=float(avg_deg))
+    return _rank_loop(
+        graph, norm, damping, tolerance, max_iterations, source_nodes,
+        checkpoint_dir, "article_rank", num_blocks, 2_000_000,
+    )
+
+
+def eigenvector(
+    graph: LinkGraph,
+    tolerance: float = 1e-7,
+    max_iterations: int = 20,
+    weighted: bool = False,
+    checkpoint_dir: str | None = None,
+    num_blocks: int | None = None,
+) -> RankResult:
+    """Power iteration with per-superstep L2 normalization
+    (reference EigenvectorComputation.java; L2 scaler default
+    PageRankAlgorithm.java:114). masterCompute = driver-side agg."""
+    spark = graph.edges.sparkSession
+    n = graph.with_node_count()
+    e = graph.edges if weighted else graph.edges.select("src", "dst", F.lit(1.0).alias("weight"))
+    norm = e.select("src", "dst", F.col("weight").cast("double").alias("norm_w")).filter(
+        F.col("norm_w") != 0
+    )
+    blocked = build_blocks(norm, n, num_blocks=num_blocks)
+    loop = SuperstepLoop(spark, "eigenvector", checkpoint_dir, lineage=edge_lineage(graph.edges))
+
+    nodes = graph.node_ids().select(F.col("node_id").alias("node"))
+    state = nodes.select("node", F.lit(1.0 / (n ** 0.5)).alias("rank"))
+    state = loop.commit(state, 0, {})
+
+    converged, it = False, 0
+    for it in range(1, max_iterations + 1):
+        msgs = spmv_messages(blocked, state.select("node", F.col("rank").alias("msg_val")))
+        new = state.join(msgs, state["node"] == msgs["dst"], "left").select(
+            "node",
+            F.col("rank").alias("old"),
+            F.coalesce(F.col("msg"), F.lit(0.0)).alias("raw"),
+        )
+        l2 = new.agg(F.sqrt(F.sum(F.col("raw") * F.col("raw"))).alias("l2")).collect()[0]["l2"]
+        if not l2 or l2 == 0.0:
+            state = loop.commit(new.select("node", F.col("raw").alias("rank")), it, {"l2": 0.0})
+            converged = True
+            break
+        scaled = new.select("node", (F.col("raw") / F.lit(float(l2))).alias("rank"), "old")
+        max_change = scaled.agg(F.max(F.abs(F.col("rank") - F.col("old"))).alias("m")).collect()[0]["m"]
+        state = loop.commit(scaled.select("node", "rank"), it, {"l2": float(l2)})
+        if max_change is not None and max_change < tolerance:
+            converged = True
+            break
+
+    blocked.unpersist()
+    return RankResult(
+        scores=state.select(F.col("node").alias("node_id"), F.col("rank").alias("score")),
+        ran_iterations=it,
+        did_converge=converged,
+        loop=loop,
+    )

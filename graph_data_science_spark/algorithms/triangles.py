@@ -1,0 +1,160 @@
+"""Exact triangle counting + local clustering coefficient.
+
+GDS counts each triangle once via sorted-adjacency intersection with node
+ordering ``c < b < a`` (reference
+``algo/.../triangle/intersect/GraphIntersect.java:52-124``); self-loops are
+ignored and parallel edges deduped in-cursor (``GraphIntersect.java:133-145``);
+nodes whose degree exceeds ``maxDegree`` are excluded with local count
+**-1** (``IntersectingTriangleCount.java:57,145-149``); input must be
+undirected (``TriangleCountBaseConfig.java:50-60``).
+
+Spark-first re-expression: the canonical two-join in **degree-rank space**.
+
+1. canonicalize the undirected edge set: ``(min, max)`` per edge, drop
+   self-loops, distinct (= in-cursor dedup);
+2. compute each node's distinct-neighbor degree and a *dense degree rank*
+   (order by (degree, id), two-phase distributed rank — no global window);
+3. orient every edge low-rank → high-rank. Each oriented out-degree is then
+   O(√m)-bounded, which bounds the wedge join fan-out — the same work bound
+   the reference gets from degree-ordered intersection;
+4. wedges = self-join of oriented edges on the low endpoint; triangles =
+   wedges ⋈ oriented edges on the closing pair. Both are Catalyst
+   sort-merge/shuffled-hash joins with AQE skew handling;
+5. per-node counts = explode the 3 corners → groupBy().count(); excluded
+   nodes get -1, untouched nodes 0.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graph_data_science_spark.graph.build import LinkGraph
+from graph_data_science_spark.graph.ids import dense_ids
+
+
+@dataclass
+class TriangleResult:
+    per_node: DataFrame  # (node_id long, triangles long)
+    global_count: int
+
+
+def _canonical_undirected(edges: DataFrame) -> DataFrame:
+    """(a < b) canonical undirected simple edges: self-loops out, parallels deduped."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def triangle_count(graph: LinkGraph, max_degree: int | None = None) -> TriangleResult:
+    spark = graph.edges.sparkSession
+    und = _canonical_undirected(graph.edges)
+
+    deg = (
+        und.select(F.col("a").alias("node_id"))
+        .union(und.select(F.col("b").alias("node_id")))
+        .groupBy("node_id")
+        .agg(F.count("*").alias("degree"))
+    )
+
+    excluded = None
+    if max_degree is not None:
+        excluded = deg.filter(F.col("degree") > max_degree).select("node_id").persist()
+        ex_a = excluded.select(F.col("node_id").alias("a"))
+        ex_b = excluded.select(F.col("node_id").alias("b"))
+        und = und.join(ex_a, "a", "left_anti").join(ex_b, "b", "left_anti")
+        deg = (
+            und.select(F.col("a").alias("node_id"))
+            .union(und.select(F.col("b").alias("node_id")))
+            .groupBy("node_id")
+            .agg(F.count("*").alias("degree"))
+        )
+
+    # Dense degree rank (distributed two-phase rank; no single-partition window).
+    ranks = dense_ids(
+        deg.select(F.col("degree").alias("d"), F.col("node_id").alias("orig")), ["d", "orig"]
+    ).select(F.col("orig"), F.col("node_id").alias("rank"))
+
+    ra = ranks.select(F.col("orig").alias("a"), F.col("rank").alias("rank_a"))
+    rb = ranks.select(F.col("orig").alias("b"), F.col("rank").alias("rank_b"))
+    oriented = (
+        und.join(ra, "a").join(rb, "b")
+        .select(
+            F.least("rank_a", "rank_b").alias("lo"),
+            F.greatest("rank_a", "rank_b").alias("hi"),
+        )
+    ).persist()
+
+    e1 = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
+    e2 = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("z"))
+    wedges = e1.join(e2, "x").filter(F.col("y") < F.col("z"))
+    closing = oriented.select(F.col("lo").alias("y"), F.col("hi").alias("z"))
+    tris = wedges.join(closing, ["y", "z"]).persist()
+
+    global_count = tris.count()
+
+    corners = (
+        tris.select(F.col("x").alias("rank"))
+        .union(tris.select(F.col("y").alias("rank")))
+        .union(tris.select(F.col("z").alias("rank")))
+        .groupBy("rank")
+        .agg(F.count("*").alias("triangles"))
+    )
+    per_rank = ranks.join(corners, "rank", "left").select(
+        F.col("orig").alias("node_id"),
+        F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
+    )
+    nodes = graph.node_ids()
+    per_node = nodes.join(per_rank, "node_id", "left").select(
+        "node_id", F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles")
+    )
+    if excluded is not None:
+        ex = excluded.withColumn("_ex", F.lit(True))
+        per_node = per_node.join(ex, "node_id", "left").select(
+            "node_id",
+            F.when(F.col("_ex"), F.lit(-1)).otherwise(F.col("triangles")).cast("long").alias("triangles"),
+        )
+        excluded.unpersist()
+
+    tris.unpersist()
+    oriented.unpersist()
+    return TriangleResult(per_node=per_node, global_count=global_count)
+
+
+def local_clustering_coefficient(
+    graph: LinkGraph,
+    max_degree: int | None = None,
+    precomputed_triangles: DataFrame | None = None,
+) -> DataFrame:
+    """LCC(v) = 2·T(v) / (deg(v)·(deg(v)−1)) over the simple undirected graph
+    (reference ``algo/.../triangle/LocalClusteringCoefficient.java:57-75``);
+    degree < 2 → 0.0. Returns (node_id long, lcc double)."""
+    tri = precomputed_triangles
+    if tri is None:
+        tri = triangle_count(graph, max_degree=max_degree).per_node
+    und = _canonical_undirected(graph.edges)
+    deg = (
+        und.select(F.col("a").alias("node_id"))
+        .union(und.select(F.col("b").alias("node_id")))
+        .groupBy("node_id")
+        .agg(F.count("*").alias("degree"))
+    )
+    return (
+        tri.join(deg, "node_id", "left")
+        .select(
+            "node_id",
+            F.when(
+                (F.coalesce(F.col("degree"), F.lit(0)) >= 2) & (F.col("triangles") >= 0),
+                2.0 * F.col("triangles") / (F.col("degree") * (F.col("degree") - 1)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("lcc"),
+        )
+    )

@@ -1,0 +1,104 @@
+"""Weakly Connected Components via min-label propagation + pointer doubling.
+
+GDS computes WCC with a wait-free CAS union-find with union-by-min, so each
+component's id is the minimum mapped node id of its members (reference
+``core/.../paged/dss/HugeAtomicDisjointSetStruct.java:163-191`` union,
+``:113-130`` find with path halving). Shared-memory CAS has no analog on a
+shared-nothing cluster, so we reach the identical fixpoint with join
+algebra (SURVEY.md §2.B):
+
+per round (all Catalyst hash joins/aggregations):
+  1. neighbor-min: ``comp'(v) = min(comp(v), min_{u ~ v} comp(u))`` over the
+     symmetrized edge set — one join + groupBy(dst).min;
+  2. pointer doubling: ``comp''(v) = comp(comp'(v))`` — a self-join, the
+     distributed analog of union-find path halving; collapses long chains
+     in O(log diameter) rounds instead of O(diameter).
+
+Converged when no label changes; result equals union-by-min exactly.
+
+Options mirrored from GDS: weight ``threshold`` (union only edges with
+``w > threshold`` — ``WccBaseConfig.java:32-39``); orientation-insensitive
+(NATURAL/REVERSE/UNDIRECTED give identical results — WccTest.java:288-305 —
+because we symmetrize internally).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graph_data_science_spark.graph.build import LinkGraph
+from graph_data_science_spark.pregel.superstep import SuperstepLoop, edge_lineage
+
+
+@dataclass
+class WccResult:
+    components: DataFrame  # (node_id long, component long)
+    ran_iterations: int
+    loop: SuperstepLoop
+
+
+def wcc(
+    graph: LinkGraph,
+    threshold: float | None = None,
+    max_iterations: int = 100,
+    checkpoint_dir: str | None = None,
+) -> WccResult:
+    spark = graph.edges.sparkSession
+    e = graph.edges
+    if threshold is not None:
+        e = e.filter(F.col("weight") > threshold)
+    # Symmetrize once; parallel edges are harmless under min().
+    sym = e.select("src", "dst").union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sym = sym.repartition(spark.sparkContext.defaultParallelism, "src").persist()
+    sym.count()
+
+    loop = SuperstepLoop(spark, "wcc", checkpoint_dir, lineage=edge_lineage(graph.edges))
+    resumed = loop.resume()
+    if resumed is not None:
+        labels, start = resumed[0], resumed[1] + 1
+    else:
+        labels = graph.node_ids().select(
+            F.col("node_id").alias("node"), F.col("node_id").alias("comp")
+        )
+        labels = loop.commit(labels, 0, {})
+        start = 1
+
+    it = start - 1
+    for it in range(start, max_iterations + 1):
+        nbr_min = (
+            sym.join(labels, sym["src"] == labels["node"], "inner")
+            .groupBy(F.col("dst").alias("n"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        stepped = (
+            labels.join(nbr_min, labels["node"] == nbr_min["n"], "left")
+            .select(
+                "node",
+                F.col("comp").alias("old_comp"),
+                F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias("comp1"),
+            )
+        )
+        # Pointer doubling: comp2 = comp1(comp1(v)) — distributed path halving.
+        parent = stepped.select(F.col("node").alias("p_node"), F.col("comp1").alias("p_comp"))
+        doubled = (
+            stepped.join(parent, stepped["comp1"] == parent["p_node"], "left")
+            .select(
+                "node",
+                "old_comp",
+                F.least(F.col("comp1"), F.coalesce(F.col("p_comp"), F.col("comp1"))).alias("comp"),
+            )
+        )
+        changed = doubled.filter(F.col("comp") != F.col("old_comp")).count()
+        labels = loop.commit(doubled.select("node", "comp"), it, {"changed": changed})
+        if changed == 0:
+            break
+
+    sym.unpersist()
+    return WccResult(
+        components=labels.select(F.col("node").alias("node_id"), F.col("comp").alias("component")),
+        ran_iterations=it,
+        loop=loop,
+    )

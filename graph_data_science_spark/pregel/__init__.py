@@ -1,0 +1,4 @@
+from graph_data_science_spark.pregel.spmv import BlockedEdges, build_blocks
+from graph_data_science_spark.pregel.superstep import SuperstepLoop
+
+__all__ = ["BlockedEdges", "build_blocks", "SuperstepLoop"]

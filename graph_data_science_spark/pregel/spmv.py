@@ -1,0 +1,173 @@
+"""CSR-block SpMV: the vectorized gather-scatter at the heart of every superstep.
+
+GDS's Pregel runs user ``compute()`` over per-node adjacency cursors and
+reduces messages atomically on send (reference
+``pregel/.../ReducingMessenger.java:85-106``; partitioning
+``core/.../partition/PartitionUtils.java:50,126-204``). The Spark
+re-expression (SURVEY.md §2.C, §3.3):
+
+- **CSR blocks**: edges are range-blocked by source id
+  (``block = src DIV block_width``) and cached pre-shuffled on the block
+  key, so every superstep reuses the same co-location — the analog of GDS's
+  RANGE node partitioning. Adjacency never moves again.
+- **Skew (DEGREE partitioning analog)**: a hot source whose degree exceeds
+  ``hot_degree_threshold`` has its out-edges *salted* across
+  ``ceil(degree/threshold)`` sub-groups by a hash of ``dst``; vertex state
+  is replicated only to the (block, salt) pairs that actually exist (a tiny
+  broadcast join). This is GDS's degree-balanced partitioning re-expressed
+  for a shared-nothing shuffle world — no single Arrow group ever holds more
+  than ~threshold edges.
+- **Gather-scatter kernel**: a cogrouped ``applyInPandas`` receives one
+  Arrow batch of edges and one of active vertex state per (block, salt),
+  scatters ``state[src] * norm_w`` contributions into a per-destination
+  partial sum with a C-speed pandas groupby (the map-side combine — the
+  analog of reduce-on-send), and emits ``(dst, partial)``.
+- **Shuffle-aggregate**: ``groupBy(dst).sum`` finishes the reduction;
+  Catalyst's partial+final hash aggregation gives a second combine level.
+
+No per-row Python executes: the kernel is NumPy/pandas vectorized over whole
+Arrow batches.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class BlockedEdges:
+    """Edges pre-shuffled into (block, salt) CSR groups, cached for reuse."""
+
+    blocks: DataFrame  # (block int, salt int, src long, dst long, norm_w double)
+    block_salts: DataFrame  # distinct (block, salt) — tiny, broadcastable
+    block_width: int
+    num_blocks: int
+    single_salt: bool = False  # no hot vertices → skip state replication join
+
+    def unpersist(self) -> None:
+        self.blocks.unpersist()
+        self.block_salts.unpersist()
+
+
+def build_blocks(
+    edges: DataFrame,
+    node_count: int,
+    num_blocks: int | None = None,
+    hot_degree_threshold: int = 2_000_000,
+    weight_col: str = "norm_w",
+) -> BlockedEdges:
+    """Block + salt + cache the edge table once; reused by every superstep.
+
+    ``edges`` must carry (src, dst, <weight_col>); weight_col is the
+    per-edge multiplier already normalized by the algorithm (e.g. w/Σw for
+    PageRank). ``hot_degree_threshold`` bounds the edge count of any single
+    Arrow group — at 100 TB scale this is what keeps mega-hub vertices (a
+    tool entity linked from millions of turns) from blowing up one task.
+    """
+    spark = edges.sparkSession
+    if num_blocks is None:
+        num_blocks = spark.sparkContext.defaultParallelism
+    block_width = max(1, math.ceil(node_count / num_blocks))
+
+    # One-time sanity check: an out-of-range id would be *silently dropped*
+    # by the block arithmetic (worse than a crash). Cheap vs the loop cost.
+    max_id = edges.agg(F.max(F.greatest("src", "dst")).alias("m")).collect()[0]["m"]
+    if max_id is not None and max_id >= node_count:
+        raise ValueError(
+            f"edge endpoint id {max_id} >= node_count {node_count}; "
+            "node ids must lie in [0, node_count) — did you densify ids?"
+        )
+
+    e = edges.select(
+        F.expr(f"src DIV {block_width}").cast("int").alias("block"),
+        "src",
+        "dst",
+        F.col(weight_col).cast("double").alias("norm_w"),
+    )
+
+    # Salt hot sources: ceil(out_degree / threshold) sub-groups hashed on dst.
+    deg = edges.groupBy("src").agg(F.count("*").alias("_deg"))
+    hot = deg.filter(F.col("_deg") > hot_degree_threshold).withColumn(
+        "_nsalt", F.ceil(F.col("_deg") / F.lit(hot_degree_threshold)).cast("int")
+    )
+    if hot.limit(1).count() > 0:
+        e = e.join(F.broadcast(hot.select("src", "_nsalt")), "src", "left").withColumn(
+            "salt",
+            F.when(
+                F.col("_nsalt").isNotNull(),
+                F.pmod(F.xxhash64("dst"), F.col("_nsalt")).cast("int"),
+            ).otherwise(F.lit(0)),
+        ).drop("_nsalt")
+    else:
+        e = e.withColumn("salt", F.lit(0))
+
+    blocks = e.select("block", "salt", "src", "dst", "norm_w").repartition(
+        num_blocks, "block", "salt"
+    ).persist()
+    blocks.count()  # materialize the cache — the one-time CSR build cost
+    # block_salts is tiny by construction (≤ num_blocks × max salts); detach
+    # it from blocks' lineage so later joins aren't ambiguous self-joins.
+    salt_rows = blocks.select("block", "salt").distinct().collect()
+    block_salts = spark.createDataFrame(
+        [(int(r["block"]), int(r["salt"])) for r in salt_rows] or [(0, 0)],
+        "block int, salt int",
+    ).persist()
+    block_salts.count()
+    single_salt = all(int(r["salt"]) == 0 for r in salt_rows)
+    return BlockedEdges(
+        blocks=blocks,
+        block_salts=block_salts,
+        block_width=block_width,
+        num_blocks=num_blocks,
+        single_salt=single_salt,
+    )
+
+
+def spmv_messages(blocked: BlockedEdges, state: DataFrame, value_col: str = "msg_val") -> DataFrame:
+    """One gather-scatter: Σ_{(u,v) ∈ E} state[u].value * norm_w → (dst, msg).
+
+    ``state`` holds only *active* vertices (node long, <value_col> double) —
+    the vote-to-halt active set (reference ComputeStep.java:63-76).
+    Returns DataFrame (dst long, msg double) with one row per destination
+    that received at least one message.
+    """
+    width = blocked.block_width
+
+    st = state.select(
+        F.expr(f"node DIV {width}").cast("int").alias("block"),
+        "node",
+        F.col(value_col).cast("double").alias("val"),
+    )
+    # Replicate state only into the salted sub-groups that exist (tiny join);
+    # with no hot vertices every salt is 0 and the join is unnecessary.
+    if blocked.single_salt:
+        st = st.withColumn("salt", F.lit(0))
+    else:
+        st = st.join(F.broadcast(blocked.block_salts), "block")
+
+    def kernel(edges_pdf: pd.DataFrame, state_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(edges_pdf) == 0 or len(state_pdf) == 0:
+            return pd.DataFrame({"dst": pd.Series(dtype="int64"), "msg": pd.Series(dtype="float64")})
+        base = int(edges_pdf["block"].iloc[0]) * width
+        vals = np.zeros(width, dtype=np.float64)
+        vals[state_pdf["node"].to_numpy() - base] = state_pdf["val"].to_numpy()
+        contrib = vals[edges_pdf["src"].to_numpy() - base] * edges_pdf["norm_w"].to_numpy()
+        mask = contrib != 0.0
+        if not mask.any():
+            return pd.DataFrame({"dst": pd.Series(dtype="int64"), "msg": pd.Series(dtype="float64")})
+        out = pd.DataFrame({"dst": edges_pdf["dst"].to_numpy()[mask], "msg": contrib[mask]})
+        # In-kernel pre-combine per destination (reduce-on-send analog).
+        return out.groupby("dst", sort=False, as_index=False)["msg"].sum()
+
+    partials = (
+        blocked.blocks.groupBy("block", "salt")
+        .cogroup(st.groupBy("block", "salt"))
+        .applyInPandas(kernel, "dst long, msg double")
+    )
+    return partials.groupBy("dst").agg(F.sum("msg").alias("msg"))

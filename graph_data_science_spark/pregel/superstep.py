@@ -1,0 +1,164 @@
+"""Superstep loop with durable checkpoint / resume / per-partition metrics.
+
+GDS's ``Pregel.run()`` loop (reference ``pregel/.../Pregel.java:204-242``)
+has convergence detection and cancellation but **no** checkpoint/restart —
+a killed job restarts from scratch. This engine adds durability, the core
+novel requirement of the north rule:
+
+- After every superstep the vertex-state DataFrame is written to the
+  checkpoint store (parquet here; on a cluster the same layout maps 1:1 to
+  an Iceberg table partitioned by ``superstep`` — each commit below is one
+  snapshot append; no Iceberg runtime jar ships in this sandbox).
+- A ``metrics`` table receives one row **per physical partition** of the
+  committed state (superstep, partition, rows, wall_ms, lineage fingerprint
+  of the input edge table, plus algorithm counters) — the durable analog of
+  GDS's hierarchical progress tasks
+  (``progress-tracking/.../tasks/Task.java``), queryable while the job runs.
+- A ``_COMMITTED`` marker makes the superstep atomic: resume scans for the
+  highest committed superstep and reloads that state; everything after is
+  recomputed. Writing state each superstep also truncates plan lineage, so
+  per-superstep plans stay flat (no O(iterations) plan growth).
+
+In-memory mode (``checkpoint_dir=None``) uses ``localCheckpoint`` — same
+lineage truncation, no durability — for tests and tight benchmark loops.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+METRICS_SCHEMA = (
+    "algo string, superstep int, partition int, rows long, wall_ms double, "
+    "lineage string, counters string"
+)
+
+
+class SuperstepLoop:
+    """Checkpointed driver loop shared by all iterative algorithms."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        name: str,
+        checkpoint_dir: str | None = None,
+        checkpoint_interval: int = 1,
+        lineage: str = "",
+    ) -> None:
+        self.spark = spark
+        self.name = name
+        self.dir = os.path.join(checkpoint_dir, name) if checkpoint_dir else None
+        self.checkpoint_interval = max(1, checkpoint_interval)
+        self.lineage = lineage
+        self._prev_cached: DataFrame | None = None
+        self.memory_metrics: list[dict] = []
+
+    # -- paths -----------------------------------------------------------
+    def _state_path(self, superstep: int) -> str:
+        return os.path.join(self.dir, f"state_{superstep:05d}")
+
+    def _marker(self, superstep: int) -> str:
+        return os.path.join(self._state_path(superstep), "_COMMITTED")
+
+    def _metrics_path(self) -> str:
+        return os.path.join(self.dir, "metrics")
+
+    # -- resume ----------------------------------------------------------
+    def last_committed(self) -> int | None:
+        if not self.dir or not os.path.isdir(self.dir):
+            return None
+        done = [
+            int(d.split("_")[1])
+            for d in os.listdir(self.dir)
+            if d.startswith("state_") and os.path.exists(self._marker(int(d.split("_")[1])))
+        ]
+        return max(done) if done else None
+
+    def resume(self) -> tuple[DataFrame, int] | None:
+        """(state, superstep) of the last committed superstep, or None."""
+        last = self.last_committed()
+        if last is None:
+            return None
+        return self.spark.read.parquet(self._state_path(last)), last
+
+    # -- commit ----------------------------------------------------------
+    def commit(self, state: DataFrame, superstep: int, counters: dict | None = None) -> DataFrame:
+        """Persist state for this superstep; return the re-rooted DataFrame.
+
+        Durable mode writes parquet + per-partition metrics + marker.
+        Memory mode localCheckpoints (lineage truncation) and keeps metrics
+        in-process. Either way the returned DataFrame has flat lineage.
+        """
+        t0 = time.monotonic()
+        durable = self.dir is not None and superstep % self.checkpoint_interval == 0
+        if durable:
+            path = self._state_path(superstep)
+            state.write.mode("overwrite").parquet(path)
+            out = self.spark.read.parquet(path)
+        else:
+            out = state.localCheckpoint(eager=True)
+            if self._prev_cached is not None:
+                self._prev_cached.unpersist()
+            self._prev_cached = out
+        wall_ms = (time.monotonic() - t0) * 1000.0
+
+        # Per-partition lineage/metrics rows are the durable observability
+        # contract; in memory mode we skip the extra scan and record one row.
+        if durable:
+            part_rows = (
+                out.groupBy(F.spark_partition_id().alias("partition"))
+                .agg(F.count("*").alias("rows"))
+                .collect()
+            )
+        else:
+            part_rows = []
+        counters_json = json.dumps(counters or {}, sort_keys=True)
+        rows = [
+            {
+                "algo": self.name,
+                "superstep": superstep,
+                "partition": int(r["partition"]),
+                "rows": int(r["rows"]),
+                "wall_ms": wall_ms,
+                "lineage": self.lineage,
+                "counters": counters_json,
+            }
+            for r in part_rows
+        ] or [
+            {
+                "algo": self.name,
+                "superstep": superstep,
+                "partition": -1,
+                "rows": 0,
+                "wall_ms": wall_ms,
+                "lineage": self.lineage,
+                "counters": counters_json,
+            }
+        ]
+        if durable:
+            self.spark.createDataFrame(rows, METRICS_SCHEMA).coalesce(1).write.mode("append").parquet(
+                self._metrics_path()
+            )
+            with open(self._marker(superstep), "w") as fh:
+                fh.write(json.dumps({"superstep": superstep, "lineage": self.lineage}))
+        else:
+            self.memory_metrics.extend(rows)
+        return out
+
+    def metrics(self) -> DataFrame:
+        if self.dir and os.path.isdir(self._metrics_path()):
+            return self.spark.read.parquet(self._metrics_path())
+        return self.spark.createDataFrame(self.memory_metrics or [], METRICS_SCHEMA)
+
+
+def edge_lineage(edges: DataFrame) -> str:
+    """Cheap stable fingerprint of the input edge table for lineage rows."""
+    try:
+        files = edges.inputFiles()
+        return json.dumps(sorted(files)[:64])
+    except Exception:
+        return "inline"
