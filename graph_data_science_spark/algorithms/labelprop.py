@@ -40,7 +40,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from graph_data_science_spark.graph.build import LinkGraph
@@ -111,15 +111,19 @@ def label_propagation(
             F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
         )
 
+    def changed_obs(df: DataFrame):
+        obs = Observation()
+        return obs, df.observe(
+            obs, F.sum(F.when(F.col("label") != F.col("old_label"), 1).otherwise(0)).alias("changed")
+        )
+
     converged, it = False, 0
     for it in range(1, max_iterations + 1):
-        half = wave(labels, 0)
-        half_changed = half.filter(F.col("label") != F.col("old_label")).count()
-        half = loop.commit(half.select("node", "label"), 2 * it - 1, {"changed": half_changed})
-        full = wave(half, 1)
-        full_changed = full.filter(F.col("label") != F.col("old_label")).count()
-        labels = loop.commit(full.select("node", "label"), 2 * it, {"changed": full_changed})
-        if half_changed + full_changed == 0:
+        obs1, half = changed_obs(wave(labels, 0))
+        half = loop.commit(half.select("node", "label"), 2 * it - 1, observation=obs1)
+        obs2, full = changed_obs(wave(half, 1))
+        labels = loop.commit(full.select("node", "label"), 2 * it, observation=obs2)
+        if not ((obs1.get.get("changed") or 0) + (obs2.get.get("changed") or 0)):
             converged = True
             break
 

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from graph_data_science_spark.graph.build import LinkGraph, degrees
@@ -115,9 +115,13 @@ def _rank_loop(
                 new_delta.alias("delta"),
             )
         )
-        state = loop.commit(state, it, {})
-        n_active = state.filter(F.col("delta") > tolerance).count()
-        if n_active == 0:
+        # Convergence counter rides the commit job (no extra action).
+        obs = Observation()
+        state = state.observe(
+            obs, F.sum(F.when(F.col("delta") > tolerance, 1).otherwise(0)).alias("active")
+        )
+        state = loop.commit(state, it, {}, observation=obs)
+        if not (obs.get.get("active") or 0):
             converged = True
             break
 

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from graph_data_science_spark.graph.build import LinkGraph
@@ -91,9 +91,12 @@ def wcc(
                 F.least(F.col("comp1"), F.coalesce(F.col("p_comp"), F.col("comp1"))).alias("comp"),
             )
         )
-        changed = doubled.filter(F.col("comp") != F.col("old_comp")).count()
-        labels = loop.commit(doubled.select("node", "comp"), it, {"changed": changed})
-        if changed == 0:
+        obs = Observation()
+        doubled = doubled.observe(
+            obs, F.sum(F.when(F.col("comp") != F.col("old_comp"), 1).otherwise(0)).alias("changed")
+        )
+        labels = loop.commit(doubled.select("node", "comp"), it, observation=obs)
+        if not (obs.get.get("changed") or 0):
             break
 
     sym.unpersist()

@@ -72,7 +72,10 @@ def build_blocks(
     """
     spark = edges.sparkSession
     if num_blocks is None:
-        num_blocks = spark.sparkContext.defaultParallelism
+        # Match the session's shuffle partitioning so the cogroup's required
+        # clustering is satisfied by the cache — the edge side is shuffled
+        # ONCE here and never re-exchanged across supersteps.
+        num_blocks = int(spark.conf.get("spark.sql.shuffle.partitions"))
     block_width = max(1, math.ceil(node_count / num_blocks))
 
     # One-time sanity check: an out-of-range id would be *silently dropped*

@@ -86,12 +86,24 @@ class SuperstepLoop:
         return self.spark.read.parquet(self._state_path(last)), last
 
     # -- commit ----------------------------------------------------------
-    def commit(self, state: DataFrame, superstep: int, counters: dict | None = None) -> DataFrame:
+    def commit(
+        self,
+        state: DataFrame,
+        superstep: int,
+        counters: dict | None = None,
+        observation=None,
+    ) -> DataFrame:
         """Persist state for this superstep; return the re-rooted DataFrame.
 
         Durable mode writes parquet + per-partition metrics + marker.
         Memory mode localCheckpoints (lineage truncation) and keeps metrics
         in-process. Either way the returned DataFrame has flat lineage.
+
+        ``observation``: a pyspark Observation whose metrics were attached to
+        ``state`` via ``df.observe`` — its values (e.g. active-vertex count)
+        are collected from the SAME job that materializes the state, so
+        convergence checks cost no extra Spark job. Values are merged into
+        the metrics counters.
         """
         t0 = time.monotonic()
         durable = self.dir is not None and superstep % self.checkpoint_interval == 0
@@ -105,6 +117,10 @@ class SuperstepLoop:
                 self._prev_cached.unpersist()
             self._prev_cached = out
         wall_ms = (time.monotonic() - t0) * 1000.0
+        if observation is not None:
+            merged = dict(counters or {})
+            merged.update({k: v for k, v in observation.get.items()})
+            counters = merged
 
         # Per-partition lineage/metrics rows are the durable observability
         # contract; in memory mode we skip the extra scan and record one row.

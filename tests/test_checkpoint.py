@@ -1,0 +1,67 @@
+"""Checkpoint/resume kill-test (SURVEY.md §7.1 M2; north rule: a killed job
+resumes from the last completed superstep with per-partition lineage+metrics)."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from graph_data_science_spark.algorithms.pagerank import pagerank
+from graph_data_science_spark.algorithms.wcc import wcc
+from graph_data_science_spark.graph.build import from_edge_list
+from graph_data_science_spark.transcripts import derive_link_graph, synthesize_transcripts
+
+F1_EDGES = [
+    (1, 2), (2, 1), (3, 0), (3, 1), (4, 1), (4, 3), (4, 5), (5, 1), (5, 4),
+    (6, 1), (6, 4), (7, 1), (7, 4), (8, 1), (8, 4), (9, 4), (10, 4),
+]
+
+
+def test_pagerank_resume_equals_uninterrupted(spark, tmp_path):
+    ck = str(tmp_path / "ck")
+    g = from_edge_list(spark, F1_EDGES, node_count=11)
+    # "Kill" after a few supersteps by capping max_iterations…
+    partial = pagerank(g, tolerance=1e-6, max_iterations=4, checkpoint_dir=ck)
+    assert not partial.did_converge
+    # …then resume from the same checkpoint dir to convergence.
+    resumed = pagerank(g, tolerance=1e-6, max_iterations=41, checkpoint_dir=ck)
+    full = pagerank(g, tolerance=1e-6, max_iterations=41)
+    diff = (
+        resumed.scores.withColumnRenamed("score", "s1")
+        .join(full.scores, "node_id")
+        .agg(F.max(F.abs(F.col("s1") - F.col("score"))).alias("m"))
+        .collect()[0]["m"]
+    )
+    assert diff == 0.0
+
+
+def test_committed_markers_and_metrics(spark, tmp_path):
+    ck = str(tmp_path / "ck2")
+    g = from_edge_list(spark, F1_EDGES, node_count=11)
+    res = pagerank(g, tolerance=1e-6, max_iterations=6, checkpoint_dir=ck)
+    state_dirs = sorted(d for d in os.listdir(os.path.join(ck, "pagerank")) if d.startswith("state_"))
+    assert len(state_dirs) >= 2
+    for d in state_dirs:
+        marker = os.path.join(ck, "pagerank", d, "_COMMITTED")
+        assert os.path.exists(marker)
+        payload = json.loads(open(marker).read())
+        assert "superstep" in payload and "lineage" in payload
+    m = res.loop.metrics()
+    assert m.count() > 0
+    cols = set(m.columns)
+    assert {"algo", "superstep", "partition", "rows", "wall_ms", "lineage", "counters"} <= cols
+    # per-partition rows sum back to the vertex count for each superstep
+    per_step = m.groupBy("superstep").agg(F.sum("rows").alias("n")).collect()
+    assert all(r["n"] == 11 for r in per_step)
+
+
+def test_wcc_resume(spark, tmp_path):
+    ck = str(tmp_path / "ck3")
+    t = synthesize_transcripts(spark, 30, seed=5)
+    g = derive_link_graph(t).graph
+    partial = wcc(g, max_iterations=1, checkpoint_dir=ck)
+    resumed = wcc(g, max_iterations=50, checkpoint_dir=ck)
+    fresh = wcc(g, max_iterations=50)
+    a = {(r["node_id"], r["component"]) for r in resumed.components.collect()}
+    b = {(r["node_id"], r["component"]) for r in fresh.components.collect()}
+    assert a == b
