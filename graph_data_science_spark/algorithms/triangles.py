@@ -8,19 +8,22 @@ nodes whose degree exceeds ``maxDegree`` are excluded with local count
 **-1** (``IntersectingTriangleCount.java:57,145-149``); input must be
 undirected (``TriangleCountBaseConfig.java:50-60``).
 
-Spark-first re-expression: the canonical two-join in **degree-rank space**.
+Spark-first re-expression: the canonical two-join under a **degree-ordered
+orientation**.
 
 1. canonicalize the undirected edge set: ``(min, max)`` per edge, drop
    self-loops, distinct (= in-cursor dedup);
-2. compute each node's distinct-neighbor degree and a *dense degree rank*
-   (order by (degree, id), two-phase distributed rank — no global window);
-3. orient every edge low-rank → high-rank. Each oriented out-degree is then
-   O(√m)-bounded, which bounds the wedge join fan-out — the same work bound
-   the reference gets from degree-ordered intersection;
-4. wedges = self-join of oriented edges on the low endpoint; triangles =
-   wedges ⋈ oriented edges on the closing pair. Both are Catalyst
-   sort-merge/shuffled-hash joins with AQE skew handling;
-5. per-node counts = explode the 3 corners → groupBy().count(); excluded
+2. compute each node's distinct-neighbor degree and orient every edge from
+   the smaller to the larger endpoint under the total order
+   ``(degree, node_id)`` — compared directly as a tuple expression, no rank
+   materialization. Each oriented out-degree is then O(√m)-bounded, which
+   bounds the wedge join fan-out — the same work bound the reference gets
+   from degree-ordered intersection;
+3. wedges = self-join of oriented edges on the low endpoint (out-neighbor
+   pairs, ordered by the same tuple comparison); triangles = wedges ⋈
+   oriented edges on the closing pair. Both are Catalyst sort-merge /
+   shuffled-hash joins with AQE skew handling;
+4. per-node counts = explode the 3 corners → groupBy().count(); excluded
    nodes get -1, untouched nodes 0.
 """
 
@@ -32,7 +35,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graph_data_science_spark.graph.build import LinkGraph
-from graph_data_science_spark.graph.ids import dense_ids
 
 
 @dataclass
@@ -77,42 +79,44 @@ def triangle_count(graph: LinkGraph, max_degree: int | None = None) -> TriangleR
             .agg(F.count("*").alias("degree"))
         )
 
-    # Dense degree rank (distributed two-phase rank; no single-partition window).
-    ranks = dense_ids(
-        deg.select(F.col("degree").alias("d"), F.col("node_id").alias("orig")), ["d", "orig"]
-    ).select(F.col("orig"), F.col("node_id").alias("rank"))
-
-    ra = ranks.select(F.col("orig").alias("a"), F.col("rank").alias("rank_a"))
-    rb = ranks.select(F.col("orig").alias("b"), F.col("rank").alias("rank_b"))
+    # Orient each edge under the total order (degree, node_id) — a tuple
+    # comparison, no rank materialization (a materialized global rank would
+    # need its own distributed sort; the comparator is free).
+    da = deg.select(F.col("node_id").alias("a"), F.col("degree").alias("deg_a"))
+    db = deg.select(F.col("node_id").alias("b"), F.col("degree").alias("deg_b"))
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
     oriented = (
-        und.join(ra, "a").join(rb, "b")
+        und.join(da, "a").join(db, "b")
         .select(
-            F.least("rank_a", "rank_b").alias("lo"),
-            F.greatest("rank_a", "rank_b").alias("hi"),
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+            F.when(a_first, F.col("deg_a")).otherwise(F.col("deg_b")).alias("deg_lo"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+            F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_hi"),
         )
     ).persist()
 
-    e1 = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
-    e2 = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("z"))
-    wedges = e1.join(e2, "x").filter(F.col("y") < F.col("z"))
+    e1 = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("y"), F.col("deg_hi").alias("deg_y"))
+    e2 = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("z"), F.col("deg_hi").alias("deg_z"))
+    y_first = (F.col("deg_y") < F.col("deg_z")) | (
+        (F.col("deg_y") == F.col("deg_z")) & (F.col("y") < F.col("z"))
+    )
+    wedges = e1.join(e2, "x").filter((F.col("y") != F.col("z")) & y_first)
     closing = oriented.select(F.col("lo").alias("y"), F.col("hi").alias("z"))
-    tris = wedges.join(closing, ["y", "z"]).persist()
+    tris = wedges.select("x", "y", "z").join(closing, ["y", "z"]).persist()
 
     global_count = tris.count()
 
     corners = (
-        tris.select(F.col("x").alias("rank"))
-        .union(tris.select(F.col("y").alias("rank")))
-        .union(tris.select(F.col("z").alias("rank")))
-        .groupBy("rank")
+        tris.select(F.col("x").alias("node_id"))
+        .union(tris.select(F.col("y").alias("node_id")))
+        .union(tris.select(F.col("z").alias("node_id")))
+        .groupBy("node_id")
         .agg(F.count("*").alias("triangles"))
     )
-    per_rank = ranks.join(corners, "rank", "left").select(
-        F.col("orig").alias("node_id"),
-        F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
-    )
     nodes = graph.node_ids()
-    per_node = nodes.join(per_rank, "node_id", "left").select(
+    per_node = nodes.join(corners, "node_id", "left").select(
         "node_id", F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles")
     )
     if excluded is not None:

@@ -1,0 +1,95 @@
+"""Multimodal column plumbing for training-data pipelines.
+
+Images / audio / video ride through the engine as opaque ``binary`` columns
+with typed metadata; decode / feature-extract / resize / frame-sample run as
+Arrow-batched ``mapInPandas`` stages so payload bytes never round-trip
+through per-row Python.
+
+The actual codec step is STUBBED in this environment (no image/audio
+libraries in the container): ``decode_images(..., codec="fake")`` produces a
+deterministic fake decode so the Spark-side plumbing — schema, batch shape,
+partition sizing — is real and testable; ``codec="pil"`` raises
+NotImplementedError until a codec library is present. At 100 TB the knobs
+that matter are ``spark.sql.execution.arrow.maxRecordsPerBatch`` (bounds
+decoded-batch memory) and pre-partitioning by size class so one giant video
+doesn't skew a task.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ASSET_SCHEMA = (
+    "asset_id long, kind string, payload binary, width int, height int, "
+    "duration_ms int, mime string"
+)
+
+DECODED_SCHEMA = "asset_id long, kind string, feat array<float>, decode_ok boolean"
+
+
+def synthesize_assets(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    """Deterministic fake asset table (binary payloads from hashes)."""
+    return spark.range(n).select(
+        F.col("id").alias("asset_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(3)) + 1).cast("int"),
+        ).alias("kind"),
+        F.sha2(F.concat(F.lit("payload-"), F.col("id").cast("string")), 256)
+        .cast("binary")
+        .alias("payload"),
+        (F.pmod(F.xxhash64("id", F.lit(seed + 1)), F.lit(1920)) + 16).cast("int").alias("width"),
+        (F.pmod(F.xxhash64("id", F.lit(seed + 2)), F.lit(1080)) + 16).cast("int").alias("height"),
+        (F.pmod(F.xxhash64("id", F.lit(seed + 3)), F.lit(60000))).cast("int").alias("duration_ms"),
+        F.lit("application/octet-stream").alias("mime"),
+    )
+
+
+def decode_images(assets: DataFrame, codec: str = "fake", feat_dim: int = 8) -> DataFrame:
+    """Arrow-batched decode/feature-extract over the payload column.
+
+    ``fake``: deterministic features from an md5 of the payload (real
+    plumbing, stub math). Any other codec raises NotImplementedError — the
+    container ships no image/audio libraries; plug PIL/torchvision here.
+    """
+    if codec != "fake":
+        raise NotImplementedError(
+            f"codec {codec!r} requires image/audio libraries not present in this environment"
+        )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                h = hashlib.md5(bytes(payload or b"")).digest()
+                feats.append([b / 255.0 for b in h[:feat_dim]])
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "kind": pdf["kind"],
+                    "feat": feats,
+                    "decode_ok": [p is not None for p in pdf["payload"]],
+                }
+            )
+
+    return assets.mapInPandas(decode, DECODED_SCHEMA)
+
+
+def sample_frames(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plan for video assets: one output row per sampled
+    timestamp (pure Catalyst explode — the decode of each frame would slot
+    into ``decode_images``). Returns (asset_id, frame_ts_ms)."""
+    return (
+        assets.filter(F.col("kind") == "video")
+        .select(
+            "asset_id",
+            F.explode(
+                F.sequence(F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)), F.lit(every_ms))
+            ).alias("frame_ts_ms"),
+        )
+    )

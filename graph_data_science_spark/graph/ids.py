@@ -7,17 +7,21 @@ can index flat arrays (reference: ``core-api/.../api/IdMap.java:35`` —
 CSR blocks can address per-block NumPy arrays by ``node_id - block_base``.
 
 A naive ``row_number() OVER (ORDER BY key)`` is a single-partition window —
-a driver-sized bottleneck at 10^12 rows. Instead we do a two-phase
-distributed rank, which is fully parallel and deterministic:
+a driver-sized bottleneck at 10^12 rows. ``repartitionByRange`` is parallel
+but **samples** the data to pick boundaries, and the sampled boundaries can
+differ between the two actions this algorithm needs — which silently yields
+out-of-range/duplicate ids (observed at 3.5M keys). Instead: a hash-bucket
+two-phase rank, a pure function of the key set:
 
-1. range-repartition + sort rows by the natural key (a real distributed
-   sort; Spark's range partitioner keeps key ranges disjoint per partition);
-2. count rows per partition (tiny collect, one long per partition), compute
-   exclusive prefix offsets on the driver;
-3. rank within each partition with a window PARTITIONED by the physical
-   partition id (parallel, no global shuffle) and add the offset.
+1. bucket every key by ``xxhash64(key) mod P`` (deterministic, no sampling);
+2. count keys per bucket (tiny collect: P longs), prefix-sum on the driver;
+3. rank within each bucket with a window partitioned by the bucket id
+   (P-way parallel) ordered by the natural key, add the bucket offset.
 
-The result is a bijection key → node_id identical to the global sort rank.
+The mapping is a stable bijection key → [0, n): same input ⇒ same ids, on
+any cluster size. The global order interleaves buckets (it is *not* the
+lexicographic rank) — callers needing an order-preserving rank build it from
+structure they control (see triangles.py for a degree-ordered example).
 """
 
 from __future__ import annotations
@@ -25,20 +29,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+DEFAULT_BUCKETS = 256  # fixed so ids don't depend on cluster parallelism
 
-def dense_ids(df: DataFrame, key_cols: list[str], num_partitions: int | None = None) -> DataFrame:
-    """Return ``df.select(key_cols).distinct()`` + a dense ``node_id`` column.
 
-    node_id is the 0-based rank of the key in lexicographic order — stable
-    across runs and parallelism levels (pure function of the key set).
-    """
+def dense_ids(df: DataFrame, key_cols: list[str], num_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    """Return ``df.select(key_cols).distinct()`` + a dense ``node_id`` column
+    in [0, n) — a deterministic bijection of the key set."""
     keys = df.select(*key_cols).distinct()
-    if num_partitions is None:
-        num_partitions = keys.sparkSession.sparkContext.defaultParallelism
-    ordered = keys.repartitionByRange(num_partitions, *key_cols).sortWithinPartitions(*key_cols)
-    with_pid = ordered.withColumn("_pid", F.spark_partition_id())
+    with_pid = keys.withColumn(
+        "_pid", F.pmod(F.xxhash64(*key_cols), F.lit(num_buckets)).cast("int")
+    )
 
-    # Tiny collect: one row per partition.
+    # Tiny collect: one row per bucket.
     counts = {r["_pid"]: r["cnt"] for r in with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
     offsets, acc = {}, 0
     for pid in sorted(counts):

@@ -33,6 +33,14 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = default_parallelism()
 
+    # Shuffle/spill files on tmpfs when available: on virtio-disk sandboxes
+    # the default /tmp makes per-superstep shuffles stall erratically on
+    # writeback (observed 3s→56s variance for identical supersteps).
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+        os.makedirs(local_dir, exist_ok=True)
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -44,9 +52,27 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # JVM tuning for iterative superstep jobs, each measured on a 15M-edge
+    # transcript graph:
+    # - 32 MB G1 regions: MB-sized shuffle/Arrow buffers stop being
+    #   "humongous" allocations (7.8 s max GC pauses → ~1 s);
+    # - -Xms = -Xmx + AlwaysPreTouch: heap growth was causing page-fault
+    #   storms (high sys-time phases, 3 s→38 s per-superstep variance);
+    #   pre-touching makes superstep times settle to a flat ~1.6 s.
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+    jvm_opts = (
+        f"-Xms{mem} -XX:+AlwaysPreTouch -XX:G1HeapRegionSize=32m "
+        "-XX:MaxGCPauseMillis=200 -XX:+ParallelRefProcEnabled"
+    )
+    builder = (
+        builder.config("spark.driver.memory", mem)
+        .config("spark.driver.extraJavaOptions", jvm_opts)
+        .config("spark.executor.extraJavaOptions", jvm_opts)
+    )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

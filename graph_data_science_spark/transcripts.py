@@ -136,3 +136,44 @@ def join_scores_back(
         .join(scores, "node_id", "left")
         .select("conv_id", "turn_idx", "text", score_col)
     )
+
+
+def closed_form_link_graph(
+    spark: SparkSession,
+    n_conversations: int,
+    turns_per_conv: int = 8,
+    n_tools: int = 64,
+    tool_every: int = 4,
+    seed: int = 42,
+    cycle: bool = False,
+) -> LinkGraph:
+    """Large-scale benchmark variant of the transcript link graph with
+    closed-form ids: fixed ``turns_per_conv`` makes turn node ids pure
+    arithmetic (``conv * turns_per_conv + turn``), so a multi-10M-edge graph
+    materializes from ``spark.range`` in seconds — no window, no join, no id
+    map. Same shape as ``derive_link_graph`` output: reply chains + shared
+    tool hubs (the skew source). Deterministic in (n_conversations, seed)."""
+    n_turns = n_conversations * turns_per_conv
+    if cycle:
+        # last turn links back to the first: PageRank mass circulates, so
+        # every superstep processes every edge — constant-work supersteps for
+        # unbiased throughput/scaling measurement.
+        base = (F.col("id") - F.pmod(F.col("id"), F.lit(turns_per_conv)))
+        nxt = base + F.pmod(F.col("id") + 1, F.lit(turns_per_conv))
+        reply = spark.range(n_turns).select(
+            F.col("id").alias("src"), nxt.alias("dst"), F.lit(1.0).alias("weight")
+        )
+    else:
+        reply = spark.range(n_turns).filter(
+            F.pmod(F.col("id"), F.lit(turns_per_conv)) < turns_per_conv - 1
+        ).select(
+            F.col("id").alias("src"), (F.col("id") + 1).alias("dst"), F.lit(1.0).alias("weight")
+        )
+    tool = spark.range(n_turns).filter(
+        F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(tool_every)) == 0
+    ).select(
+        F.col("id").alias("src"),
+        (F.lit(n_turns) + F.pmod(F.xxhash64(F.lit(seed), "id"), F.lit(n_tools))).alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    return LinkGraph(edges=reply.union(tool), node_count=n_turns + n_tools)

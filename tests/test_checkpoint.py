@@ -32,7 +32,10 @@ def test_pagerank_resume_equals_uninterrupted(spark, tmp_path):
         .agg(F.max(F.abs(F.col("s1") - F.col("score"))).alias("m"))
         .collect()[0]["m"]
     )
-    assert diff == 0.0
+    # Resume refolds committed deltas in a different grouping than the
+    # uninterrupted run's periodic folds, so float sum order differs by a
+    # few ULP — the contract is allclose (north rule: 1e-6), not bit-equal.
+    assert diff < 1e-12
 
 
 def test_committed_markers_and_metrics(spark, tmp_path):
@@ -50,9 +53,11 @@ def test_committed_markers_and_metrics(spark, tmp_path):
     assert m.count() > 0
     cols = set(m.columns)
     assert {"algo", "superstep", "partition", "rows", "wall_ms", "lineage", "counters"} <= cols
-    # per-partition rows sum back to the vertex count for each superstep
-    per_step = m.groupBy("superstep").agg(F.sum("rows").alias("n")).collect()
-    assert all(r["n"] == 11 for r in per_step)
+    # superstep 0 commits the init delta for every vertex; later supersteps
+    # commit only the (shrinking) message-receiver set
+    per_step = {r["superstep"]: r["n"] for r in m.groupBy("superstep").agg(F.sum("rows").alias("n")).collect()}
+    assert per_step[0] == 11
+    assert all(0 < n <= 11 for n in per_step.values())
 
 
 def test_wcc_resume(spark, tmp_path):

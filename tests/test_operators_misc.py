@@ -1,0 +1,175 @@
+"""Tests: node similarity, scalers, modularity/conductance, k-core,
+topological sort, catalog, datapipe, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_data_science_spark.algorithms.misc import conductance, k_core, modularity, topological_sort
+from graph_data_science_spark.algorithms.scaling import scale_properties
+from graph_data_science_spark.algorithms.similarity import node_similarity
+from graph_data_science_spark.datapipe.ann import cosine_topk, lsh_cosine_topk
+from graph_data_science_spark.datapipe.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from graph_data_science_spark.datapipe.multimodal import decode_images, sample_frames, synthesize_assets
+from graph_data_science_spark.datapipe.textstats import text_features
+from graph_data_science_spark.graph.build import LinkGraph, from_edge_list
+from graph_data_science_spark.graph.catalog import GraphCatalog
+
+
+def test_node_similarity_jaccard(spark):
+    # 0 and 1 share both neighbors {10, 11}; 2 shares one with each.
+    g = from_edge_list(spark, [(0, 10), (0, 11), (1, 10), (1, 11), (2, 10)], node_count=12)
+    rows = {(r["node1"], r["node2"]): r["similarity"] for r in node_similarity(g, top_k=3).collect()}
+    assert rows[(0, 1)] == 1.0 and rows[(1, 0)] == 1.0
+    assert rows[(0, 2)] == pytest.approx(0.5)
+    assert rows[(2, 0)] == pytest.approx(0.5)
+
+
+def test_scalers(spark):
+    df = spark.createDataFrame([(0, 0.0), (1, 5.0), (2, 10.0)], "id long, x double")
+    mm = {r["id"]: r["x_scaled"] for r in scale_properties(df, ["x"], "minmax").collect()}
+    assert mm == {0: 0.0, 1: 0.5, 2: 1.0}
+    st = {r["id"]: r["x_scaled"] for r in scale_properties(df, ["x"], "stdscore").collect()}
+    assert st[1] == pytest.approx(0.0)
+    l1 = {r["id"]: r["x_scaled"] for r in scale_properties(df, ["x"], "l1norm").collect()}
+    assert l1[2] == pytest.approx(10.0 / 15.0)
+
+
+def test_modularity_and_conductance(spark):
+    # Two triangles joined by one edge: strong communities.
+    edges = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (0, 3)]
+    g = from_edge_list(spark, edges, node_count=6)
+    assign = spark.createDataFrame(
+        [(i, 0 if i < 3 else 1) for i in range(6)], "node_id long, community long"
+    )
+    q = modularity(g, assign)
+    assert 0.3 < q < 0.5  # known-good modularity for this split
+    cond = {r["community"]: r["conductance"] for r in conductance(g, assign).collect()}
+    assert cond[0] == pytest.approx(1.0 / 7.0)
+    assert cond[1] == pytest.approx(1.0 / 7.0)
+
+
+def test_k_core(spark):
+    # Triangle (core 2) with a pendant (core 1) and an isolated node (core 0).
+    g = from_edge_list(spark, [(0, 1), (1, 2), (2, 0), (2, 3)], node_count=5)
+    res = k_core(g)
+    cores = {r["node_id"]: r["core"] for r in res.cores.collect()}
+    assert cores == {0: 2, 1: 2, 2: 2, 3: 1, 4: 0}
+    assert res.degeneracy == 2
+
+
+def test_topological_sort(spark):
+    g = from_edge_list(spark, [(0, 1), (0, 2), (1, 3), (2, 3)], node_count=4)
+    res = topological_sort(g)
+    assert res.is_dag
+    lv = {r["node_id"]: r["level"] for r in res.order.collect()}
+    assert lv == {0: 0, 1: 1, 2: 1, 3: 2}
+    cyc = from_edge_list(spark, [(0, 1), (1, 0)], node_count=2)
+    assert not topological_sort(cyc).is_dag
+
+
+def test_graph_catalog_roundtrip(spark, tmp_path):
+    cat = GraphCatalog(spark, str(tmp_path / "cat"))
+    g = from_edge_list(spark, [(0, 1), (1, 2)], node_count=3)
+    cat.project("g1", g)
+    assert cat.exists("g1")
+    got = cat.get("g1")
+    assert got.with_node_count() == 3
+    assert got.relationship_count() == 2
+    assert [m["name"] for m in cat.list()] == ["g1"]
+    assert cat.drop("g1") and not cat.exists("g1")
+    with pytest.raises(KeyError):
+        cat.get("g1")
+
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),
+    (2, "completely different text with no overlap here at all"),
+    (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (4, ""),
+]
+
+
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    reps = {r["doc_id"]: r["rep_id"] for r in exact_dedup(docs_df(spark)).collect()}
+    assert reps[3] == 0 and reps[0] == 0
+    assert reps[1] == 1 and reps[2] == 2
+
+
+def test_ngram_jaccard_and_lsh_agree(spark):
+    df = docs_df(spark)
+    exact = {(r["a"], r["b"]): r["jaccard"] for r in ngram_jaccard_pairs(df, threshold=0.3).collect()}
+    assert exact[(0, 3)] == 1.0
+    assert (0, 1) in exact  # 6/8 shared 3-gram shingles... high overlap
+    lsh = {(r["a"], r["b"]): r["jaccard"] for r in lsh_candidate_pairs(df, threshold=0.3).collect()}
+    assert lsh[(0, 3)] == 1.0  # identical docs always collide in every band
+    # LSH pairs are a subset of exact pairs with identical jaccard values
+    for k, v in lsh.items():
+        assert exact[k] == v
+
+
+def test_minhash_identical_docs_equal_signatures(spark):
+    sig = {r["doc_id"]: tuple(r[f"h{j}"] for j in range(8)) for r in minhash_signatures(docs_df(spark)).collect()}
+    assert sig[0] == sig[3]
+    assert sig[0] != sig[2]
+    assert sig[4] == tuple([-1] * 8)  # empty doc sentinel
+
+
+def test_simhash_close_docs_close_hashes(spark):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs_df(spark)).collect()}
+    assert sh[0] == sh[3]
+    ham_01 = bin(sh[0] ^ sh[1]).count("1")
+    ham_02 = bin(sh[0] ^ sh[2]).count("1")
+    assert ham_01 < ham_02  # one-word change beats a full rewrite
+
+
+def test_text_features_basics(spark):
+    rows = {r["doc_id"]: r for r in text_features(docs_df(spark)).collect()}
+    assert rows[0]["n_tokens"] == 9
+    assert rows[0]["stopword_ratio"] == pytest.approx(2 / 9)
+    assert rows[4]["n_tokens"] == 0
+    assert rows[0]["lang_pred"] == "en"
+
+
+def test_cosine_topk_and_lsh(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.95, 0.05]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    top = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=2).collect()
+    assert [r["neighbor_id"] for r in sorted(top, key=lambda r: r["rank"])] == [1, 2]
+    # LSH: results (where returned) carry correct sims; identical-direction
+    # vectors always share a bucket.
+    lsh = lsh_cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=2, n_planes=4)
+    for r in lsh.collect():
+        assert r["sim"] <= 1.0 + 1e-9
+
+
+def test_multimodal_plumbing(spark):
+    assets = synthesize_assets(spark, 50)
+    decoded = decode_images(assets)
+    rows = decoded.collect()
+    assert len(rows) == 50
+    assert all(len(r["feat"]) == 8 and r["decode_ok"] for r in rows)
+    # deterministic: same asset → same features
+    again = {r["asset_id"]: r["feat"] for r in decode_images(assets).collect()}
+    first = {r["asset_id"]: r["feat"] for r in rows}
+    assert again == first
+    with pytest.raises(NotImplementedError):
+        decode_images(assets, codec="pil")
+    frames = sample_frames(assets, every_ms=10000)
+    assert frames.count() > 0
+    assert frames.filter(F.col("frame_ts_ms") % 10000 != 0).count() == 0
