@@ -86,11 +86,27 @@ def scaling_run(cpus: int, n_conv: int, out_json: str) -> None:
     from graph_data_science_spark.session import get_spark
     from graph_data_science_spark.transcripts import closed_form_link_graph
 
+    # Scaling-run sizing principles (fixes the round-1 2→8 anomaly where
+    # the 8-core run was *slower* in absolute terms than the 2-core run):
+    # - shuffle partitions = 4× cores at every level: a single task wave
+    #   (partitions == cores) makes the straggler partition the wall time
+    #   and leaves no compute/shuffle overlap; 4 waves pipeline at every
+    #   parallelism level, which is also how a real cluster is sized;
+    # - partition-count coalescing OFF so AQE can't silently reduce the
+    #   wave structure differently per level (skew-join stays on);
+    # - heap ∝ cores (4g + 0.5g/core, capped 16g): a fixed pre-touched
+    #   16 GiB heap gives the small runs identical GC geometry to the big
+    #   ones, which distorts the per-core comparison.
+    mem_gb = min(16, 4 + cpus // 2)
+    os.environ["SPARK_GRAFT_DRIVER_MEM"] = f"{mem_gb}g"
     spark = get_spark(
         app_name=f"bench-scaling-{cpus}",
         master=f"local[{cpus}]",
-        shuffle_partitions=max(cpus, 8),
-        extra_conf={"spark.default.parallelism": str(max(cpus, 8))},
+        shuffle_partitions=4 * cpus,
+        extra_conf={
+            "spark.default.parallelism": str(4 * cpus),
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        },
     )
     g = closed_form_link_graph(spark, n_conv, cycle=True)
     n_edges = g.relationship_count()

@@ -38,7 +38,11 @@ from graph_data_science_spark.pregel.spmv import (
     spmv_messages,
     spmv_messages_sql,
 )
-from graph_data_science_spark.pregel.superstep import SuperstepLoop, edge_lineage
+from graph_data_science_spark.pregel.superstep import (
+    SuperstepLoop,
+    edge_lineage,
+    free_checkpointed,
+)
 
 
 @dataclass
@@ -99,7 +103,11 @@ def _rank_loop(
     else:
         prepped = prep_edges_sql(norm_edges, num_partitions=num_blocks)
         msg_fn = lambda active: spmv_messages_sql(prepped, active)  # noqa: E731
-    loop = SuperstepLoop(spark, name, checkpoint_dir, lineage=edge_lineage(graph.edges))
+    # auto_free_prev=False: committed delta frames are retained in `pending`
+    # until the next fold — _fold() frees them once summed.
+    loop = SuperstepLoop(
+        spark, name, checkpoint_dir, lineage=edge_lineage(graph.edges), auto_free_prev=False
+    )
 
     # Delta-only superstep loop. The classical formulation keeps a full
     # (node, rank, delta) state and outer-joins messages into it every
@@ -122,10 +130,7 @@ def _rank_loop(
         out = out.groupBy("node").agg(F.sum("delta").alias("delta"))
         out = out.localCheckpoint(eager=True)
         for p in parts:  # folded frames are no longer needed — free the cache
-            try:
-                p.unpersist()
-            except Exception:
-                pass
+            free_checkpointed(p)
         return out
 
     resumed = loop.resume()
@@ -185,8 +190,10 @@ def _rank_loop(
         updates += 1
         walls.append(_time.monotonic() - it_t0)
         if len(pending) >= fold_every:
-            running = _fold(running, pending)
-            pending = []
+            # Keep the newest delta out of the fold: _fold frees what it
+            # sums, and `delta` is still the next superstep's active set.
+            running = _fold(running, pending[:-1])
+            pending = [delta]
         if not (obs.get.get("active") or 0):
             converged = True
             break
@@ -247,11 +254,14 @@ def article_rank(
     num_blocks: int | None = None,
 ) -> RankResult:
     """PageRank variant: message denominator degree + avgDegree
-    (reference ArticleRankComputation.java; avg degree
-    applications/.../CentralityAlgorithms.java:389-404)."""
-    e = graph.edges if weighted else graph.edges.select("src", "dst", F.lit(1.0).alias("weight"))
-    deg = degrees(e, weighted=True)
-    avg_deg = deg.agg(F.avg("degree").alias("a")).collect()[0]["a"] or 0.0
+    (reference ArticleRankComputation.java; avg degree =
+    unweighted relationship count / total node count per
+    DegreeFunctions.java:82-91 — dangling nodes count in the denominator,
+    and the average ignores weights even in weighted mode)."""
+    # GDS nodeCount = actual node count, not the id-space bound; resolve
+    # via node_ids() (the vertex table when one exists).
+    n = graph.node_ids().count()
+    avg_deg = (graph.edges.count() / n) if n else 0.0
     norm = _normalized_edges(graph, weighted, extra_denominator=float(avg_deg))
     return _rank_loop(
         graph, norm, damping, tolerance, max_iterations, source_nodes,
@@ -264,49 +274,108 @@ def eigenvector(
     tolerance: float = 1e-7,
     max_iterations: int = 20,
     weighted: bool = False,
+    source_nodes: list[int] | None = None,
     checkpoint_dir: str | None = None,
     num_blocks: int | None = None,
 ) -> RankResult:
-    """Power iteration with per-superstep L2 normalization
-    (reference EigenvectorComputation.java; L2 scaler default
-    PageRankAlgorithm.java:114). masterCompute = driver-side agg."""
+    """Eigenvector centrality, exact GDS semantics
+    (reference EigenvectorComputation.java):
+
+    - A + I power iteration: ``nextRank = rank + Σ messages`` (:96-113);
+    - init ``1/|V|`` (personalized: sources ``1/|S|``, rest 0) (:64-70);
+    - messages carry the *pre-normalization* nextRank, divided by the
+      weighted out-degree when weighted, 1 when not
+      (DegreeFunctions.eigenvectorDegreeFunction);
+    - masterCompute L2-normalizes and converges when no node's normalized
+      rank moved more than ``tolerance`` — never on superstep 0 (:116-170).
+
+    Execution: one Spark action per superstep. State holds the RAW
+    nextRank vector; the L2 scale is applied lazily as a literal once the
+    norm is known (the norm rides the commit job as an Observation, as do
+    the sufficient statistics for the L2 norm of the *change*). The exact
+    max-change convergence test needs the new norm first, so it is gated:
+    ``max_change ≤ l2_change`` always, and ``max_change ≥ l2_change/√n``,
+    so an extra tiny scan of the committed state runs only when the bounds
+    straddle the tolerance — i.e. only in the final supersteps.
+    """
     spark = graph.edges.sparkSession
-    n = graph.with_node_count()
-    e = graph.edges if weighted else graph.edges.select("src", "dst", F.lit(1.0).alias("weight"))
-    norm = e.select("src", "dst", F.col("weight").cast("double").alias("norm_w")).filter(
-        F.col("norm_w") != 0
-    )
-    blocked = build_blocks(norm, n, num_blocks=num_blocks)
+    # nodeCount for the 1/|V| init is the actual node count (vertex table
+    # when present), not the id-space bound.
+    n = graph.node_ids().count()
+    if weighted:
+        norm = _normalized_edges(graph, True)  # w / Σ_out w, positive weights
+    else:
+        norm = graph.edges.select("src", "dst", F.lit(1.0).alias("norm_w"))
+    prepped = prep_edges_sql(norm, num_partitions=num_blocks)
     loop = SuperstepLoop(spark, "eigenvector", checkpoint_dir, lineage=edge_lineage(graph.edges))
 
     nodes = graph.node_ids().select(F.col("node_id").alias("node"))
-    state = nodes.select("node", F.lit(1.0 / (n ** 0.5)).alias("rank"))
-    state = loop.commit(state, 0, {})
+    if source_nodes:
+        init = F.when(
+            F.col("node").isin([int(s) for s in source_nodes]),
+            F.lit(1.0 / len(source_nodes)),
+        ).otherwise(F.lit(0.0))
+    else:
+        init = F.lit(1.0 / n) if n else F.lit(0.0)
+    obs0 = Observation()
+    y = nodes.select("node", init.alias("y"), F.lit(0.0).alias("x_prev")).observe(
+        obs0, F.sum(F.col("y") * F.col("y")).alias("l2sq")
+    )
+    y = loop.commit(y, 0, {}, observation=obs0)
+    l2_prev = float(obs0.get.get("l2sq") or 0.0) ** 0.5
 
     converged, it = False, 0
-    for it in range(1, max_iterations + 1):
-        msgs = spmv_messages(blocked, state.select("node", F.col("rank").alias("msg_val")))
-        new = state.join(msgs, state["node"] == msgs["dst"], "left").select(
-            "node",
-            F.col("rank").alias("old"),
-            F.coalesce(F.col("msg"), F.lit(0.0)).alias("raw"),
+    for it in range(1, max_iterations):
+        if l2_prev == 0.0:
+            converged = True  # zero vector is a fixed point; nothing to send
+            break
+        msgs = spmv_messages_sql(prepped, y.select("node", F.col("y").alias("msg_val")))
+        obs = Observation()
+        new = (
+            y.join(msgs, y["node"] == msgs["dst"], "left")
+            .select(
+                "node",
+                ((F.col("y") / F.lit(l2_prev)) + F.coalesce(F.col("msg"), F.lit(0.0))).alias("y"),
+                (F.col("y") / F.lit(l2_prev)).alias("x_prev"),
+            )
+            .observe(
+                obs,
+                F.sum(F.col("y") * F.col("y")).alias("l2sq"),
+                F.sum(F.col("y") * F.col("x_prev")).alias("dot"),
+                F.sum(F.col("x_prev") * F.col("x_prev")).alias("prevsq"),
+            )
         )
-        l2 = new.agg(F.sqrt(F.sum(F.col("raw") * F.col("raw"))).alias("l2")).collect()[0]["l2"]
-        if not l2 or l2 == 0.0:
-            state = loop.commit(new.select("node", F.col("raw").alias("rank")), it, {"l2": 0.0})
+        y = loop.commit(new, it, {}, observation=obs)
+        vals = obs.get
+        l2 = float(vals.get("l2sq") or 0.0) ** 0.5
+        if l2 == 0.0:
+            l2_prev = 0.0
             converged = True
             break
-        scaled = new.select("node", (F.col("raw") / F.lit(float(l2))).alias("rank"), "old")
-        max_change = scaled.agg(F.max(F.abs(F.col("rank") - F.col("old"))).alias("m")).collect()[0]["m"]
-        state = loop.commit(scaled.select("node", "rank"), it, {"l2": float(l2)})
-        if max_change is not None and max_change < tolerance:
+        dot = float(vals.get("dot") or 0.0)
+        prevsq = float(vals.get("prevsq") or 0.0)
+        l2_change = max(0.0, 1.0 - 2.0 * dot / l2 + prevsq) ** 0.5
+        l2_prev = l2
+        if l2_change <= tolerance:
             converged = True
             break
+        if l2_change <= tolerance * (n ** 0.5):
+            # Bounds straddle the tolerance — run the exact per-node check.
+            max_change = (
+                y.agg(F.max(F.abs(F.col("y") / F.lit(l2) - F.col("x_prev"))).alias("m"))
+                .collect()[0]["m"]
+            )
+            if max_change is not None and max_change <= tolerance:
+                converged = True
+                break
 
-    blocked.unpersist()
+    prepped.unpersist()
+    scale = 1.0 / l2_prev if l2_prev else 1.0
     return RankResult(
-        scores=state.select(F.col("node").alias("node_id"), F.col("rank").alias("score")),
-        ran_iterations=it,
+        scores=y.select(
+            F.col("node").alias("node_id"), (F.col("y") * F.lit(scale)).alias("score")
+        ),
+        ran_iterations=it + 1,
         did_converge=converged,
         loop=loop,
     )

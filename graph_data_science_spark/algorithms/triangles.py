@@ -139,7 +139,9 @@ def local_clustering_coefficient(
 ) -> DataFrame:
     """LCC(v) = 2·T(v) / (deg(v)·(deg(v)−1)) over the simple undirected graph
     (reference ``algo/.../triangle/LocalClusteringCoefficient.java:57-75``);
-    degree < 2 → 0.0. Returns (node_id long, lcc double)."""
+    degree < 2 → 0.0; maxDegree-excluded nodes (triangles = -1) → NaN
+    (``LocalClusteringCoefficient.java:132-134`` — excluded is not the same
+    as zero clustering). Returns (node_id long, lcc double)."""
     tri = precomputed_triangles
     if tri is None:
         tri = triangle_count(graph, max_degree=max_degree).per_node
@@ -154,8 +156,9 @@ def local_clustering_coefficient(
         tri.join(deg, "node_id", "left")
         .select(
             "node_id",
-            F.when(
-                (F.coalesce(F.col("degree"), F.lit(0)) >= 2) & (F.col("triangles") >= 0),
+            F.when(F.col("triangles") < 0, F.lit(float("nan")))
+            .when(
+                F.coalesce(F.col("degree"), F.lit(0)) >= 2,
                 2.0 * F.col("triangles") / (F.col("degree") * (F.col("degree") - 1)),
             )
             .otherwise(F.lit(0.0))

@@ -45,7 +45,14 @@ def wcc(
     threshold: float | None = None,
     max_iterations: int = 100,
     checkpoint_dir: str | None = None,
+    seeds: DataFrame | None = None,
 ) -> WccResult:
+    """``seeds``: optional (node_id, seed long) frame mirroring GDS
+    ``seedProperty`` (``WccBaseConfig.java:32-39``,
+    ``Wcc.java:101-104`` incremental DSS): seeded nodes start in their
+    seed component; unseeded nodes get fresh ids above every seed
+    (``max_seed + 1 + node_id``), so an unseeded node can never capture a
+    seeded component's id; merges still take the component minimum."""
     spark = graph.edges.sparkSession
     e = graph.edges
     if threshold is not None:
@@ -60,9 +67,21 @@ def wcc(
     if resumed is not None:
         labels, start = resumed[0], resumed[1] + 1
     else:
-        labels = graph.node_ids().select(
-            F.col("node_id").alias("node"), F.col("node_id").alias("comp")
-        )
+        if seeds is not None:
+            max_seed = seeds.agg(F.max("seed").alias("m")).collect()[0]["m"]
+            base = int(max_seed) + 1 if max_seed is not None else 0
+            labels = (
+                graph.node_ids()
+                .join(seeds, "node_id", "left")
+                .select(
+                    F.col("node_id").alias("node"),
+                    F.coalesce(F.col("seed"), F.col("node_id") + F.lit(base)).alias("comp"),
+                )
+            )
+        else:
+            labels = graph.node_ids().select(
+                F.col("node_id").alias("node"), F.col("node_id").alias("comp")
+            )
         labels = loop.commit(labels, 0, {})
         start = 1
 
@@ -82,15 +101,21 @@ def wcc(
             )
         )
         # Pointer doubling: comp2 = comp1(comp1(v)) — distributed path halving.
-        parent = stepped.select(F.col("node").alias("p_node"), F.col("comp1").alias("p_comp"))
-        doubled = (
-            stepped.join(parent, stepped["comp1"] == parent["p_node"], "left")
-            .select(
-                "node",
-                "old_comp",
-                F.least(F.col("comp1"), F.coalesce(F.col("p_comp"), F.col("comp1"))).alias("comp"),
+        # Only valid when labels ARE node ids (unseeded): a seed label that
+        # happens to equal an unrelated node's id would alias into that
+        # node's component and merge components that never touched.
+        if seeds is None:
+            parent = stepped.select(F.col("node").alias("p_node"), F.col("comp1").alias("p_comp"))
+            doubled = (
+                stepped.join(parent, stepped["comp1"] == parent["p_node"], "left")
+                .select(
+                    "node",
+                    "old_comp",
+                    F.least(F.col("comp1"), F.coalesce(F.col("p_comp"), F.col("comp1"))).alias("comp"),
+                )
             )
-        )
+        else:
+            doubled = stepped.select("node", "old_comp", F.col("comp1").alias("comp"))
         obs = Observation()
         doubled = doubled.observe(
             obs, F.sum(F.when(F.col("comp") != F.col("old_comp"), 1).otherwise(0)).alias("changed")

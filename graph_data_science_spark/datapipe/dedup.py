@@ -45,13 +45,19 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct n-word shingles per document: (id, shingle)."""
+    """Distinct n-word shingles per document: (id, shingle).
+
+    Documents with fewer than ``n`` tokens (incl. empty text) produce zero
+    shingles: ``sequence(0, size-n)`` would step *downward* when size < n
+    (Spark yields [0, -1, ...]) and then ``slice`` throws on start 0, so the
+    index list is guarded to an empty array in that case.
+    """
     toks = tokens_col(F.col(text_col))
     # shingle i = tokens[i..i+n-1] joined by single spaces, 0-based i.
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-    )
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    shingles = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
     return (
         df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
         .distinct()
@@ -117,9 +123,24 @@ def lsh_candidate_pairs(
     bands: int = 4,
     n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: band-bucket join for candidates, exact
-    shingle-Jaccard verification ≥ threshold. Never computes all pairs."""
+    shingle-Jaccard verification ≥ threshold. Never computes all pairs.
+
+    The verification stream is pruned *before* the pair-generating join:
+    shingles are semi-joined to candidate doc ids on each side first, so a
+    hot shingle shared by k docs outside the candidate set contributes 0
+    rows instead of k² (the naive plan computes the full shingle-collision
+    stream and only then semi-joins on (a, b), which Catalyst cannot push
+    below the join that creates the pair).
+
+    ``max_shingle_df``: optional document-frequency cap — shingles appearing
+    in more than this many *candidate* documents are dropped from the
+    verification join (standard MinHash practice for stop-phrase shingles).
+    This makes the verified Jaccard approximate; leave None for the exact
+    metric.
+    """
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
     sig = minhash_signatures(df, id_col, text_col, num_perm, n)
@@ -140,11 +161,28 @@ def lsh_candidate_pairs(
     lb = banded.select(F.col(id_col).alias("b"), "band", "bucket")
     cand = la.join(lb, ["band", "bucket"]).filter(F.col("a") < F.col("b")).select("a", "b").distinct()
 
-    # Exact Jaccard verification restricted to LSH candidates.
+    # Exact Jaccard verification restricted to LSH candidates. Prune the
+    # shingle stream to candidate ids BEFORE the pair join (see docstring).
     sh = word_shingles(df, id_col, text_col, n)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    sa = sh.select(F.col(id_col).alias("a"), "shingle")
-    sb = sh.select(F.col(id_col).alias("b"), "shingle")
+    sa = sh.select(F.col(id_col).alias("a"), "shingle").join(
+        cand.select("a"), "a", "left_semi"
+    )
+    sb = sh.select(F.col(id_col).alias("b"), "shingle").join(
+        cand.select("b"), "b", "left_semi"
+    )
+    if max_shingle_df is not None:
+        rare = (
+            sa.select(F.col("a").alias(id_col), "shingle")
+            .union(sb.select(F.col("b").alias(id_col), "shingle"))
+            .distinct()
+            .groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sa = sa.join(rare, "shingle", "left_semi")
+        sb = sb.join(rare, "shingle", "left_semi")
     inter = (
         sa.join(sb, "shingle")
         .filter(F.col("a") < F.col("b"))

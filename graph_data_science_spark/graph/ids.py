@@ -29,13 +29,42 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-DEFAULT_BUCKETS = 256  # fixed so ids don't depend on cluster parallelism
+DEFAULT_BUCKETS = 256  # floor; see bucket_count_for()
+
+# Target rows per in-bucket sort task. Each bucket's row_number() window
+# sorts its keys in ONE task, so the bucket count — not the cluster size —
+# bounds per-task work. Determinism requires a fixed count per *dataset*,
+# not a small constant: bucket_count_for() derives it from the key count
+# (a property of the data), and callers that persist an id map must record
+# the bucket count in the map's manifest alongside the data fingerprint.
+ROWS_PER_BUCKET = 2_000_000
 
 
-def dense_ids(df: DataFrame, key_cols: list[str], num_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+def bucket_count_for(n_keys: int) -> int:
+    """Deterministic bucket count for a dataset of ``n_keys`` keys: the
+    next power of two of n/ROWS_PER_BUCKET, floored at DEFAULT_BUCKETS.
+    Powers of two keep the count stable under small growth of n (it only
+    changes when the dataset doubles), and ~2M rows/bucket keeps each
+    bucket's single-task sort in tens-of-MB territory at any scale
+    (10^12 keys → 2^19 buckets)."""
+    need = max(1, (n_keys + ROWS_PER_BUCKET - 1) // ROWS_PER_BUCKET)
+    p = 1
+    while p < need:
+        p *= 2
+    return max(DEFAULT_BUCKETS, p)
+
+
+def dense_ids(df: DataFrame, key_cols: list[str], num_buckets: int | None = None) -> DataFrame:
     """Return ``df.select(key_cols).distinct()`` + a dense ``node_id`` column
-    in [0, n) — a deterministic bijection of the key set."""
+    in [0, n) — a deterministic bijection of the key set.
+
+    ``num_buckets=None`` derives the count from the key count via
+    ``bucket_count_for`` (one extra count() action). Pass an explicit,
+    recorded value to reproduce a previously-built id map bit-for-bit.
+    """
     keys = df.select(*key_cols).distinct()
+    if num_buckets is None:
+        num_buckets = bucket_count_for(keys.count())
     with_pid = keys.withColumn(
         "_pid", F.pmod(F.xxhash64(*key_cols), F.lit(num_buckets)).cast("int")
     )

@@ -168,6 +168,66 @@ def spmv_messages_sql(prepped_edges: DataFrame, state: DataFrame, value_col: str
     )
 
 
+def spmv_messages_arrays(
+    blocked: BlockedEdges, state: DataFrame, value_col: str = "vec"
+) -> DataFrame:
+    """Array-state gather-scatter: Σ_{(u,v)∈E} state[u].vec * norm_w → (dst, vec).
+
+    The vector analog of :func:`spmv_messages` for algorithms whose vertex
+    state is an embedding (FastRP, HashGNN-style kernels) — exactly the
+    case Catalyst can't express efficiently (array sums would need
+    explode → d× row blowup → re-agg). ``state``: (node long,
+    <value_col> array<double>). One Arrow round-trip per (block, salt)
+    group; the kernel is pure NumPy over whole batches, with an in-kernel
+    per-destination pre-combine (reduce-on-send analog).
+    """
+    width = blocked.block_width
+
+    st = state.select(
+        F.expr(f"node DIV {width}").cast("int").alias("block"),
+        "node",
+        F.col(value_col).cast("array<double>").alias("vec"),
+    )
+    if blocked.single_salt:
+        st = st.withColumn("salt", F.lit(0))
+    else:
+        st = st.join(F.broadcast(blocked.block_salts), "block")
+
+    def kernel(edges_pdf: pd.DataFrame, state_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"dst": pd.Series(dtype="int64"), "vec": pd.Series(dtype="object")})
+        if len(edges_pdf) == 0 or len(state_pdf) == 0:
+            return empty
+        base = int(edges_pdf["block"].iloc[0]) * width
+        mat = np.stack(state_pdf["vec"].to_numpy())  # (n_state, d)
+        d = mat.shape[1]
+        # Dense per-block lookup: row i holds state for node base+i (zeros
+        # when absent — absent nodes contribute nothing).
+        vals = np.zeros((width, d), dtype=np.float64)
+        vals[state_pdf["node"].to_numpy() - base] = mat
+        contrib = vals[edges_pdf["src"].to_numpy() - base] * edges_pdf["norm_w"].to_numpy()[:, None]
+        dsts, inv = np.unique(edges_pdf["dst"].to_numpy(), return_inverse=True)
+        acc = np.zeros((len(dsts), d), dtype=np.float64)
+        np.add.at(acc, inv, contrib)
+        return pd.DataFrame({"dst": dsts, "vec": list(acc)})
+
+    partials = (
+        blocked.blocks.groupBy("block", "salt")
+        .cogroup(st.groupBy("block", "salt"))
+        .applyInPandas(kernel, "dst long, vec array<double>")
+    )
+    # Final combine across blocks/salts: element-wise array sum via
+    # zip_with inside an aggregate buffer (tiny arrays, few collisions).
+    return partials.groupBy("dst").agg(
+        F.aggregate(
+            F.collect_list("vec"),
+            F.expr("cast(array() as array<double>)"),
+            lambda acc, v: F.when(F.size(acc) == 0, v).otherwise(
+                F.zip_with(acc, v, lambda a, b: a + b)
+            ),
+        ).alias("vec")
+    )
+
+
 def spmv_messages(blocked: BlockedEdges, state: DataFrame, value_col: str = "msg_val") -> DataFrame:
     """One gather-scatter: Σ_{(u,v) ∈ E} state[u].value * norm_w → (dst, msg).
 

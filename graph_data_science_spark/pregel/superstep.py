@@ -38,6 +38,24 @@ METRICS_SCHEMA = (
 )
 
 
+def free_checkpointed(df: DataFrame) -> None:
+    """Actually release a ``localCheckpoint``-ed DataFrame's storage.
+
+    ``DataFrame.unpersist()`` is a no-op for these frames — the checkpointed
+    RDD is persisted at the RDD level and never registered in the
+    CacheManager, so the DataFrame-level call frees nothing and an in-memory
+    superstep loop accumulates executor storage unboundedly. The LogicalRDD
+    plan node exposes the underlying RDD; unpersist that directly.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+
+
 class SuperstepLoop:
     """Checkpointed driver loop shared by all iterative algorithms."""
 
@@ -48,12 +66,20 @@ class SuperstepLoop:
         checkpoint_dir: str | None = None,
         checkpoint_interval: int = 1,
         lineage: str = "",
+        auto_free_prev: bool = True,
     ) -> None:
+        """``auto_free_prev``: in memory mode, release the previous
+        superstep's localCheckpointed state when the next one commits
+        (safe when the algorithm only ever reads the latest state — WCC,
+        LPA, eigenvector). Algorithms that retain older committed frames
+        (pagerank's delta fold) pass False and free frames themselves via
+        ``free_checkpointed`` once folded."""
         self.spark = spark
         self.name = name
         self.dir = os.path.join(checkpoint_dir, name) if checkpoint_dir else None
         self.checkpoint_interval = max(1, checkpoint_interval)
         self.lineage = lineage
+        self.auto_free_prev = auto_free_prev
         self._prev_cached: DataFrame | None = None
         self.memory_metrics: list[dict] = []
 
@@ -79,10 +105,30 @@ class SuperstepLoop:
         return max(done) if done else None
 
     def resume(self) -> tuple[DataFrame, int] | None:
-        """(state, superstep) of the last committed superstep, or None."""
+        """(state, superstep) of the last committed superstep, or None.
+
+        The committed marker records the lineage fingerprint of the edge
+        table the checkpoint was built from; a stale checkpoint dir left by
+        a *different* graph (or parameter set encoded into the lineage)
+        must not be silently adopted — that would resume into wrong final
+        results. Mismatch raises instead.
+        """
         last = self.last_committed()
         if last is None:
             return None
+        try:
+            with open(self._marker(last)) as fh:
+                marker = json.loads(fh.read() or "{}")
+        except Exception:
+            marker = {}
+        committed_lineage = marker.get("lineage", "")
+        if committed_lineage != self.lineage:
+            raise ValueError(
+                f"checkpoint dir {self.dir!r} was committed for a different "
+                f"input (lineage {committed_lineage!r} != current "
+                f"{self.lineage!r}); clear the directory or pass the "
+                "matching input to resume"
+            )
         return self.spark.read.parquet(self._state_path(last)), last
 
     # -- commit ----------------------------------------------------------
@@ -113,8 +159,8 @@ class SuperstepLoop:
             out = self.spark.read.parquet(path)
         else:
             out = state.localCheckpoint(eager=True)
-            if self._prev_cached is not None:
-                self._prev_cached.unpersist()
+            if self.auto_free_prev and self._prev_cached is not None:
+                free_checkpointed(self._prev_cached)
             self._prev_cached = out
         wall_ms = (time.monotonic() - t0) * 1000.0
         if observation is not None:
@@ -169,6 +215,47 @@ class SuperstepLoop:
         if self.dir and os.path.isdir(self._metrics_path()):
             return self.spark.read.parquet(self._metrics_path())
         return self.spark.createDataFrame(self.memory_metrics or [], METRICS_SCHEMA)
+
+
+_ROUNDTRIP_BASE: str | None = None
+_ROUNDTRIP_SEQ = 0
+
+
+def materialize_roundtrip(df: DataFrame, tag: str = "state") -> DataFrame:
+    """Materialize a loop-state frame via a parquet round-trip.
+
+    Why not localCheckpoint or persist? Loops whose per-round plan
+    references the previous state MULTIPLE times (Louvain's gain scoring,
+    SCC's trim/capture, K1-coloring's validation) hit two different Spark 4
+    pathologies:
+
+    - ``localCheckpoint`` rewrites the new LogicalRDD's statistics from the
+      *origin plan's* stats (ExistingRDD.rewriteStatsAndConstraints), so
+      size estimates compound as ``S_r = S_{r-1}^k`` — BigIntegers whose
+      digit count grows exponentially with rounds; the driver ends up
+      burning minutes per round inside BigInteger.multiply during stats
+      estimation (observed on the Louvain inner loop).
+    - ``persist()`` keeps stats concrete but doesn't truncate lineage, and
+      the analyzer walks the logical plan as a TREE — k references per
+      round unroll into a k^rounds-node walk (observed: minutes inside
+      the analyzer's transformUp).
+
+    A parquet write + read is the one primitive that truncates lineage AND
+    yields a fresh relation with real file statistics. Files go to a
+    session temp dir (tmpfs when available — the same device the shuffle
+    already uses) and are left for process exit; durable-loop callers use
+    SuperstepLoop's checkpoint_dir instead, which has the same effect.
+    """
+    global _ROUNDTRIP_BASE, _ROUNDTRIP_SEQ
+    if _ROUNDTRIP_BASE is None:
+        import tempfile
+
+        parent = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        _ROUNDTRIP_BASE = tempfile.mkdtemp(prefix="spark_graft_rt_", dir=parent)
+    _ROUNDTRIP_SEQ += 1
+    path = os.path.join(_ROUNDTRIP_BASE, f"{tag}_{_ROUNDTRIP_SEQ:06d}")
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
 
 
 def edge_lineage(edges: DataFrame) -> str:

@@ -706,6 +706,15 @@ QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
 }
 
+def _merge_ext() -> None:
+    """Fold in the round-2 registry (queries_ext) — kept in its own module
+    so each file stays reviewable; imported lazily to avoid a cycle."""
+    from graph_data_science_spark import queries_ext
+
+    QUERIES.update(queries_ext.QUERIES_EXT)
+    ORACLES.update(queries_ext.ORACLES_EXT)
+
+
 ORACLES = {
     "degree_centrality": Q_DEGREE_SQL,
     "wcc_order_chains": Q_WCC_SQL,
@@ -725,3 +734,5 @@ ORACLES = {
     "simhash_docs": Q_SIMHASH_SQL,
     "ann_cosine_topk": Q_ANN_SQL,
 }
+
+_merge_ext()

@@ -60,6 +60,25 @@ def test_committed_markers_and_metrics(spark, tmp_path):
     assert all(0 < n <= 11 for n in per_step.values())
 
 
+def test_resume_rejects_stale_lineage(spark, tmp_path):
+    # A checkpoint dir committed for one graph must not be silently adopted
+    # by a run over a different graph.
+    import pytest
+
+    from graph_data_science_spark.pregel.superstep import SuperstepLoop
+
+    ck = str(tmp_path / "ck_stale")
+    loop_a = SuperstepLoop(spark, "algo", ck, lineage="graph-A")
+    st = spark.createDataFrame([(0, 1.0)], "node long, delta double")
+    loop_a.commit(st, 0, {})
+    loop_b = SuperstepLoop(spark, "algo", ck, lineage="graph-B")
+    with pytest.raises(ValueError, match="different input"):
+        loop_b.resume()
+    # Matching lineage still resumes.
+    state, step = SuperstepLoop(spark, "algo", ck, lineage="graph-A").resume()
+    assert step == 0 and state.count() == 1
+
+
 def test_wcc_resume(spark, tmp_path):
     ck = str(tmp_path / "ck3")
     t = synthesize_transcripts(spark, 30, seed=5)

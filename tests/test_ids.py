@@ -36,3 +36,30 @@ def test_dense_ids_deterministic_across_evaluations(spark):
         .count()
     )
     assert mism == 0
+
+
+def test_dense_ids_bijection_at_multiple_bucket_counts(spark):
+    # Explicit bucket counts must each give a bijection; a recorded count
+    # reproduces the identical mapping bit-for-bit.
+    from graph_data_science_spark.graph.ids import bucket_count_for
+
+    df = spark.range(20_000).select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+    for nb in (64, 256, 1024):
+        ids = dense_ids(df, ["k"], num_buckets=nb)
+        stats = ids.agg(
+            F.min("node_id").alias("lo"),
+            F.max("node_id").alias("hi"),
+            F.countDistinct("node_id").alias("d"),
+        ).collect()[0]
+        assert (stats["lo"], stats["hi"], stats["d"]) == (0, 19_999, 20_000)
+    a = dense_ids(df, ["k"], num_buckets=512)
+    b = dense_ids(df, ["k"], num_buckets=512)
+    assert (
+        a.withColumnRenamed("node_id", "id_a")
+        .join(b.withColumnRenamed("node_id", "id_b"), "k")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .count()
+    ) == 0
+    # Derived bucket count is a deterministic function of the key count.
+    assert bucket_count_for(1_000) == 256
+    assert bucket_count_for(10**12) == 2**19

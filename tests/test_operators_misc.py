@@ -158,6 +158,57 @@ def test_cosine_topk_and_lsh(spark):
         assert r["sim"] <= 1.0 + 1e-9
 
 
+def test_shingle_family_short_docs(spark):
+    # Docs shorter than the shingle width (empty / 1-word / 2-word) must
+    # produce zero shingles, not crash (Spark sequence(0, -1) descends).
+    short = spark.createDataFrame(
+        [(0, ""), (1, "one"), (2, "two words"), (3, "three word doc"),
+         (4, "three word doc")],
+        "doc_id long, text string",
+    )
+    sig = {r["doc_id"]: tuple(r[f"h{j}"] for j in range(8))
+           for r in minhash_signatures(short).collect()}
+    assert sig[0] == sig[1] == sig[2] == tuple([-1] * 8)  # no shingles
+    assert sig[3] == sig[4] != tuple([-1] * 8)
+    pairs = {(r["a"], r["b"]) for r in ngram_jaccard_pairs(short, threshold=0.5).collect()}
+    assert pairs == {(3, 4)}
+    lsh = {(r["a"], r["b"]) for r in lsh_candidate_pairs(short, threshold=0.5).collect()}
+    assert lsh == {(3, 4)}
+
+
+def test_lsh_shingle_df_cap(spark):
+    # With a df-cap high enough to keep every shingle, results are unchanged.
+    df = docs_df(spark)
+    base = {(r["a"], r["b"]): r["jaccard"] for r in lsh_candidate_pairs(df, threshold=0.3).collect()}
+    capped = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in lsh_candidate_pairs(df, threshold=0.3, max_shingle_df=100).collect()
+    }
+    assert base == capped
+
+
+def test_node_similarity_cutoffs(spark):
+    # 0/1 share {10,11}; 2 has 3 nbrs incl. hot 10; 10 is shared by all.
+    g = from_edge_list(
+        spark,
+        [(0, 10), (0, 11), (1, 10), (1, 11), (2, 10), (2, 12), (2, 13)],
+        node_count=14,
+    )
+    # upper_degree_cutoff=2 drops node 2 (3 neighbors) from comparison.
+    rows = {
+        (r["node1"], r["node2"])
+        for r in node_similarity(g, top_k=3, upper_degree_cutoff=2).collect()
+    }
+    assert (0, 1) in rows and not any(2 in p for p in rows)
+    # max_neighbor_frequency=2 drops neighbor 10 (shared by 3 sources) from
+    # intersections; 0/1 still share 11 and set sizes stay exact (2 each).
+    sims = {
+        (r["node1"], r["node2"]): r["similarity"]
+        for r in node_similarity(g, top_k=3, max_neighbor_frequency=2).collect()
+    }
+    assert sims[(0, 1)] == pytest.approx(1 / 3)  # |{11}| / |{10,11} ∪ {10,11}|
+
+
 def test_multimodal_plumbing(spark):
     assets = synthesize_assets(spark, 50)
     decoded = decode_images(assets)

@@ -82,3 +82,17 @@ def test_lcc_triangle_with_tail(spark):
     assert rows[0] == 1.0 and rows[1] == 1.0
     assert abs(rows[2] - 1.0 / 3.0) < 1e-12
     assert rows[3] == 0.0
+
+
+def test_lcc_max_degree_excluded_is_nan(spark):
+    # maxDegree-excluded nodes get NaN, not 0 (LocalClusteringCoefficient
+    # .java:132-134) — excluded ≠ genuinely-zero clustering.
+    import math
+
+    g = und(spark, [(0, 1), (1, 2), (2, 0), (2, 3)], 4)
+    rows = {
+        r["node_id"]: r["lcc"]
+        for r in local_clustering_coefficient(g, max_degree=2).collect()
+    }
+    assert math.isnan(rows[2])  # degree 3 → excluded
+    assert rows[3] == 0.0
