@@ -707,12 +707,15 @@ QUERIES = {
 }
 
 def _merge_ext() -> None:
-    """Fold in the round-2 registry (queries_ext) — kept in its own module
-    so each file stays reviewable; imported lazily to avoid a cycle."""
-    from graph_data_science_spark import queries_ext
+    """Fold in the round-2 registries (queries_ext, queries_ext2) — kept in
+    their own modules so each file stays reviewable; imported lazily to
+    avoid a cycle."""
+    from graph_data_science_spark import queries_ext, queries_ext2
 
     QUERIES.update(queries_ext.QUERIES_EXT)
     ORACLES.update(queries_ext.ORACLES_EXT)
+    QUERIES.update(queries_ext2.QUERIES_EXT2)
+    ORACLES.update(queries_ext2.ORACLES_EXT2)
 
 
 ORACLES = {
