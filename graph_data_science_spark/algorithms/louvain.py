@@ -247,3 +247,23 @@ def louvain(
         )
         edges = new_edges
     return LouvainResult(communities=mapping, modularities=modularities, ran_levels=levels)
+
+
+def modularity_optimization(
+    graph: LinkGraph, max_iterations: int = 10
+) -> LouvainResult:
+    """Single-level modularity optimization (reference
+    ``algo/.../modularityoptimization/ModularityOptimization.java`` — the
+    inner engine Louvain levels over, exposed standalone like the GDS
+    procedure). One _one_level run, no coarsening."""
+    edges = graph.edges.select("src", "dst", F.col("weight").cast("double").alias("weight"))
+    assign, q = _one_level(edges, max_iterations)
+    nodes = graph.node_ids()
+    mapping = (
+        nodes.join(assign, nodes["node_id"] == assign["node"], "left")
+        .select(
+            "node_id",
+            F.coalesce(F.col("comm"), F.col("node_id")).alias("community"),
+        )
+    )
+    return LouvainResult(communities=mapping, modularities=[q], ran_levels=1)

@@ -132,6 +132,59 @@ def triangle_count(graph: LinkGraph, max_degree: int | None = None) -> TriangleR
     return TriangleResult(per_node=per_node, global_count=global_count)
 
 
+def triangle_listing(graph: LinkGraph, max_degree: int | None = None) -> DataFrame:
+    """(a < b < c) node-id triples, one row per triangle (the stream mode of
+    the reference's TriangleStream.java). Same degree-ordered two-join plan
+    as triangle_count; the triple is re-sorted to id order for a stable
+    output contract."""
+    und = _canonical_undirected(graph.edges)
+    deg = (
+        und.select(F.col("a").alias("node_id"))
+        .union(und.select(F.col("b").alias("node_id")))
+        .groupBy("node_id")
+        .agg(F.count("*").alias("degree"))
+    )
+    if max_degree is not None:
+        keep = deg.filter(F.col("degree") <= max_degree).select("node_id")
+        und = und.join(keep.withColumnRenamed("node_id", "a"), "a", "left_semi").join(
+            keep.withColumnRenamed("node_id", "b"), "b", "left_semi"
+        )
+        deg = (
+            und.select(F.col("a").alias("node_id"))
+            .union(und.select(F.col("b").alias("node_id")))
+            .groupBy("node_id")
+            .agg(F.count("*").alias("degree"))
+        )
+    da = deg.select(F.col("node_id").alias("a"), F.col("degree").alias("deg_a"))
+    db = deg.select(F.col("node_id").alias("b"), F.col("degree").alias("deg_b"))
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        und.join(da, "a").join(db, "b")
+        .select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+            F.when(a_first, F.col("deg_a")).otherwise(F.col("deg_b")).alias("deg_lo"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+            F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_hi"),
+        )
+    )
+    e1 = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("y"), F.col("deg_hi").alias("deg_y"))
+    e2 = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("z"), F.col("deg_hi").alias("deg_z"))
+    y_first = (F.col("deg_y") < F.col("deg_z")) | (
+        (F.col("deg_y") == F.col("deg_z")) & (F.col("y") < F.col("z"))
+    )
+    wedges = e1.join(e2, "x").filter((F.col("y") != F.col("z")) & y_first)
+    closing = oriented.select(F.col("lo").alias("y"), F.col("hi").alias("z"))
+    tris = wedges.select("x", "y", "z").join(closing, ["y", "z"])
+    ordered = F.array_sort(F.array("x", "y", "z"))
+    return tris.select(
+        F.element_at(ordered, 1).alias("a"),
+        F.element_at(ordered, 2).alias("b"),
+        F.element_at(ordered, 3).alias("c"),
+    )
+
+
 def local_clustering_coefficient(
     graph: LinkGraph,
     max_degree: int | None = None,

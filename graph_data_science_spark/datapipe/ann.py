@@ -109,3 +109,87 @@ def lsh_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, sim ≥ threshold) via
+    hyperplane-LSH bucketing: candidate pairs collide in the signature
+    bucket (near-identical directions almost always share every sign bit),
+    verified with the exact cosine. Never all-pairs — the 100 TB shape for
+    corpus-level near-dup removal over an embedding column."""
+    b = hyperplane_buckets(corpus, _dim_of(corpus, vec_col), n_planes, seed, id_col, vec_col)
+    la = b.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket")
+    lb = b.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "bucket")
+    pairs = la.join(lb, "bucket").filter(F.col("a") < F.col("b"))
+    sim = (_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))).alias("sim")
+    return pairs.select("a", "b", sim).filter(F.col("sim") >= threshold)
+
+
+def _dim_of(df: DataFrame, vec_col: str) -> int:
+    return len(df.select(vec_col).first()[0])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: k-means-partitioned inverted file. Train
+    centroids on the corpus (kmeans module), assign every vector to its
+    nearest centroid, search each query only in the ``n_probe`` nearest
+    cells — the classic scale path (cost ≈ corpus/n_clusters · n_probe per
+    query instead of the full corpus). Returns (query_id, neighbor_id,
+    rank, sim) like the exact path; recall < 1 by construction."""
+    from graph_data_science_spark.algorithms.kmeans import kmeans
+
+    km = kmeans(
+        corpus, k=n_clusters, id_col=id_col, vec_col=vec_col, max_iterations=5, random_seed=seed
+    )
+    cells = km.assignments.select(F.col("node_id").alias(id_col), F.col("community").alias("cell"))
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
+    ).join(cells.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
+
+    # Rank each query's distance to every centroid (n_clusters literals),
+    # keep the n_probe nearest as probe cells.
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    probes = None
+    for j, cent in enumerate(km.centroids):
+        lit = F.array(*[F.lit(float(x)) for x in cent])
+        d = F.aggregate(
+            F.zip_with(F.col("qv"), lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        row = qv.select("query_id", "qv", F.lit(j).alias("cell"), d.alias("_d"))
+        probes = row if probes is None else probes.union(row)
+    w = Window.partitionBy("query_id").orderBy(F.asc("_d"), F.asc("cell"))
+    probed = (
+        probes.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+
+    pairs = cv.join(F.broadcast(probed), "cell").filter(F.col("neighbor_id") != F.col("query_id"))
+    sim = (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("sim")
+    scored = pairs.select("query_id", "neighbor_id", sim)
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )

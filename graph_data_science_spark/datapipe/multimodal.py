@@ -17,7 +17,6 @@ doesn't skew a task.
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -53,27 +52,46 @@ def synthesize_assets(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
 def decode_images(assets: DataFrame, codec: str = "fake", feat_dim: int = 8) -> DataFrame:
     """Arrow-batched decode/feature-extract over the payload column.
 
-    ``fake``: deterministic features from an md5 of the payload (real
-    plumbing, stub math). Any other codec raises NotImplementedError — the
-    container ships no image/audio libraries; plug PIL/torchvision here.
+    ``fake``: deterministic features folded from the payload bytes with
+    whole-batch NumPy (real plumbing, stub math — no per-row Python
+    arithmetic). Any other codec raises NotImplementedError — the container
+    ships no image/audio libraries; plug PIL/torchvision here.
     """
+    assert 64 % feat_dim == 0, "feat_dim must divide the 64-byte prefix window"
     if codec != "fake":
         raise NotImplementedError(
             f"codec {codec!r} requires image/audio libraries not present in this environment"
         )
 
+    width = 64  # fixed prefix window: pad/truncate payloads to one matrix row
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            feats = []
-            for payload in pdf["payload"]:
-                h = hashlib.md5(bytes(payload or b"")).digest()
-                feats.append([b / 255.0 for b in h[:feat_dim]])
+            raw = pdf["payload"].to_numpy()
+            n = len(raw)
+            if n == 0:
+                yield pd.DataFrame(
+                    {"asset_id": pdf["asset_id"], "kind": pdf["kind"], "feat": [], "decode_ok": []}
+                )
+                continue
+            # Whole-batch marshalling into an (n, width) byte matrix: the
+            # join is C-level buffer copies; ALL math below is vectorized
+            # NumPy — no per-row Python arithmetic (north-rule contract).
+            buf = b"".join(bytes(p or b"")[:width].ljust(width, b"\0") for p in raw)
+            mat = np.frombuffer(buf, dtype=np.uint8).reshape(n, width)
+            # Fake "features": fold the byte matrix into feat_dim lanes.
+            folded = mat.reshape(n, feat_dim, width // feat_dim).astype(np.int64)
+            weights = np.arange(1, width // feat_dim + 1, dtype=np.int64)
+            feat = ((folded * weights).sum(axis=2) % 256).astype(np.float32) / 255.0
+            ok = np.array([p is not None for p in raw], dtype=bool)
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "kind": pdf["kind"],
-                    "feat": feats,
-                    "decode_ok": [p is not None for p in pdf["payload"]],
+                    "feat": list(feat),
+                    "decode_ok": ok,
                 }
             )
 

@@ -710,12 +710,24 @@ def _merge_ext() -> None:
     """Fold in the round-2 registries (queries_ext, queries_ext2) — kept in
     their own modules so each file stays reviewable; imported lazily to
     avoid a cycle."""
-    from graph_data_science_spark import queries_ext, queries_ext2
+    from graph_data_science_spark import queries_ext, queries_ext2, queries_ext3
 
-    QUERIES.update(queries_ext.QUERIES_EXT)
-    ORACLES.update(queries_ext.ORACLES_EXT)
-    QUERIES.update(queries_ext2.QUERIES_EXT2)
-    ORACLES.update(queries_ext2.ORACLES_EXT2)
+    for mod, qname, oname in (
+        (queries_ext, "QUERIES_EXT", "ORACLES_EXT"),
+        (queries_ext2, "QUERIES_EXT2", "ORACLES_EXT2"),
+        (queries_ext3, "QUERIES_EXT3", "ORACLES_EXT3"),
+    ):
+        # When an ext module is imported FIRST (tools/tests), it imports this
+        # module, whose end-of-module merge then sees the ext module only
+        # partially initialized — skip it; the direct importer has the
+        # registries it asked for, and any path through __spark_entry__
+        # imports this module first and merges everything.
+        q = getattr(mod, qname, None)
+        o = getattr(mod, oname, None)
+        if q is not None:
+            QUERIES.update(q)
+        if o is not None:
+            ORACLES.update(o)
 
 
 ORACLES = {

@@ -541,8 +541,16 @@ def _supply_tree_graph(spark: SparkSession, sf_dir: str, weighted: bool) -> Link
         .union(supplier.select((10 + F.col("s_nationkey")).cast("long"), (50 + F.col("s_suppkey")).cast("long"), ws))
         .union(orders.select((1000 + F.col("o_custkey")).cast("long"), (10000 + F.col("o_orderkey")).cast("long"), wo))
     )
+    region = _t(spark, sf_dir, "region")
+    vertices = (
+        region.select(F.col("r_regionkey").cast("long").alias("node_id"))
+        .union(nation.select((10 + F.col("n_nationkey")).cast("long")))
+        .union(supplier.select((50 + F.col("s_suppkey")).cast("long")))
+        .union(customer.select((1000 + F.col("c_custkey")).cast("long")))
+        .union(orders.select((10000 + F.col("o_orderkey")).cast("long")))
+    )
     max_id = edges.agg(F.greatest(F.max("src"), F.max("dst")).alias("m")).collect()[0]["m"]
-    return LinkGraph(edges=edges, node_count=int(max_id) + 1)
+    return LinkGraph(edges=edges, vertices=vertices, node_count=int(max_id) + 1)
 
 
 def q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:

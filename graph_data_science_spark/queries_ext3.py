@@ -1,0 +1,245 @@
+"""Round-2 driver-contract queries, batch 3: betweenness (exact Brandes on
+the supply tree — closed-form oracle ancestors×descendants), triangle
+listing, subgraph filter, filtered node similarity, embedding near-dup,
+single-level modularity optimization; IVF ANN ships rows-only (its cells
+depend on k-means float centroids).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graph_data_science_spark.algorithms.betweenness import betweenness
+from graph_data_science_spark.algorithms.louvain import modularity_optimization
+from graph_data_science_spark.algorithms.similarity import filtered_node_similarity
+from graph_data_science_spark.algorithms.triangles import triangle_listing
+from graph_data_science_spark.datapipe.ann import embedding_near_dup_pairs, ivf_topk
+from graph_data_science_spark.graph.build import LinkGraph
+from graph_data_science_spark.graph.subgraph import subgraph_filter
+from graph_data_science_spark.queries import (
+    COPART_EDGES_SQL,
+    CUSTPART_EDGES_SQL,
+    _copart_graph,
+    _custpart_graph,
+    _e,
+    _supply_web_graph,
+    _t,
+)
+from graph_data_science_spark.queries_ext import (
+    _ANN_PLANES,
+    _floor_e,
+    _nation_clique_edges,
+    _plane_dot_sql,
+    _supply_tree_graph,
+)
+
+# 4-plane bucket: NumPy fills standard_normal((8, 64)) row-major, so the
+# first 4 rows equal an independent standard_normal((4, 64)) draw with the
+# same seed — the engine's n_planes=4 planes.
+_ANN_BUCKET4_SQL = " + ".join(
+    f"CASE WHEN ({_plane_dot_sql(_ANN_PLANES[p])}) >= 0 THEN {1 << p} ELSE 0 END"
+    for p in range(4)
+)
+
+
+# --------------------------------------------------------------------------
+# Betweenness on the supply tree: every s→t path is unique (σ ≡ 1), so
+# bc(v) = ancestors(v) × descendants(v) — exact closed form for the oracle.
+# --------------------------------------------------------------------------
+
+def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _supply_tree_graph(spark, sf_dir, weighted=False)
+    return betweenness(g).select("node_id", F.col("score").cast("long").alias("score"))
+
+
+Q_BETWEENNESS_SQL = """
+    WITH ord_per_cust AS (SELECT o_custkey, COUNT(*) AS n_ord FROM orders GROUP BY o_custkey),
+    nat_desc AS (
+        SELECT n_nationkey,
+               (SELECT COUNT(*) FROM customer WHERE c_nationkey = n_nationkey)
+             + (SELECT COUNT(*) FROM supplier WHERE s_nationkey = n_nationkey)
+             + COALESCE((SELECT SUM(n_ord) FROM ord_per_cust JOIN customer ON c_custkey = o_custkey
+                         WHERE c_nationkey = n_nationkey), 0) AS descendants
+        FROM nation
+    )
+    SELECT CAST(r_regionkey AS BIGINT) AS node_id, CAST(0 AS BIGINT) AS score FROM region
+    UNION ALL
+    SELECT CAST(10 + n_nationkey AS BIGINT), CAST(1 * descendants AS BIGINT) FROM nat_desc
+    UNION ALL
+    SELECT CAST(50 + s_suppkey AS BIGINT), 0 FROM supplier
+    UNION ALL
+    SELECT CAST(1000 + c_custkey AS BIGINT), CAST(2 * COALESCE(n_ord, 0) AS BIGINT)
+    FROM customer LEFT JOIN ord_per_cust ON o_custkey = c_custkey
+    UNION ALL
+    SELECT CAST(10000 + o_orderkey AS BIGINT), 0 FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+# Triangle listing over the co-part graph
+# --------------------------------------------------------------------------
+
+def q_triangle_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _copart_graph(spark, sf_dir)
+    return triangle_listing(g)
+
+
+Q_TRIANGLE_LISTING_SQL = f"""
+    WITH e AS MATERIALIZED ({COPART_EDGES_SQL})
+    SELECT CAST(e1.a AS BIGINT) AS a, CAST(e1.b AS BIGINT) AS b, CAST(e2.b AS BIGINT) AS c
+    FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
+# --------------------------------------------------------------------------
+# Subgraph filter: keep only customer/order nodes of the supply web, then
+# report surviving out-degrees (the filter-then-re-aggregate lifecycle)
+# --------------------------------------------------------------------------
+
+def q_subgraph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _supply_web_graph(spark, sf_dir)
+    sub = subgraph_filter(g, node_filter="node_id >= 1000")
+    deg = sub.edges.groupBy("src").agg(F.count("*").alias("degree"))
+    return (
+        sub.vertices.join(deg, sub.vertices["node_id"] == deg["src"], "left")
+        .select("node_id", F.coalesce(F.col("degree"), F.lit(0)).alias("degree"))
+    )
+
+
+Q_SUBGRAPH_SQL = """
+    SELECT CAST(1000 + c_custkey AS BIGINT) AS node_id, CAST(0 AS BIGINT) AS degree FROM customer
+    UNION ALL
+    SELECT CAST(10000 + o_orderkey AS BIGINT), 1 FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+# Filtered NodeSimilarity: even customers rank only odd customers
+# --------------------------------------------------------------------------
+
+def q_filtered_nodesim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _custpart_graph(spark, sf_dir)
+    customer = _t(spark, sf_dir, "customer")
+    srcs = customer.filter(F.col("c_custkey") % 2 == 0).select(F.col("c_custkey").cast("long"))
+    tgts = customer.filter(F.col("c_custkey") % 2 == 1).select(F.col("c_custkey").cast("long"))
+    return filtered_node_similarity(g, source_nodes=srcs, target_nodes=tgts, top_k=5).select(
+        "node1", "node2", "rank", _e(F.col("similarity"), 6).alias("sim_e6")
+    )
+
+
+Q_FILTERED_NODESIM_SQL = f"""
+    WITH e AS ({CUSTPART_EDGES_SQL}),
+    sz AS (SELECT src, COUNT(*) AS sz FROM e GROUP BY src),
+    inter AS (
+        SELECT a.src AS n1, b.src AS n2, COUNT(*) AS c
+        FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+        GROUP BY a.src, b.src
+    ),
+    half AS (
+        SELECT n1, n2, CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) AS similarity
+        FROM inter JOIN sz sa ON sa.src = n1 JOIN sz sb ON sb.src = n2
+    ),
+    sym AS (SELECT n1, n2, similarity FROM half
+            UNION ALL SELECT n2, n1, similarity FROM half),
+    flt AS (SELECT n1, n2, similarity FROM sym WHERE n1 % 2 = 0 AND n2 % 2 = 1),
+    ranked AS (
+        SELECT n1, n2, similarity,
+               ROW_NUMBER() OVER (PARTITION BY n1 ORDER BY similarity DESC, n2 ASC) AS rank
+        FROM flt
+    )
+    SELECT CAST(n1 AS BIGINT) AS node1, CAST(n2 AS BIGINT) AS node2,
+           CAST(rank AS INT) AS rank, {_floor_e("similarity", 6)} AS sim_e6
+    FROM ranked WHERE rank <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-duplicates (hyperplane-bucketed, exact verify)
+# --------------------------------------------------------------------------
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 4 planes / threshold 0.35: the synthetic embeddings top out at cosine
+    # ~0.51, so this is the setting that actually exercises the
+    # bucket-join + verify pipeline with non-empty output.
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.35, n_planes=4, seed=42).select(
+        "a", "b", _e(F.col("sim"), 4).alias("sim_e4")
+    )
+
+
+Q_EMBEDDING_NEAR_DUP_SQL = f"""
+    WITH b AS MATERIALIZED (
+        SELECT vec_id, embedding, {_ANN_BUCKET4_SQL} AS bucket FROM embeddings
+    ),
+    ve AS MATERIALIZED (SELECT vec_id, bucket, i, CAST(embedding[i] AS DOUBLE) AS x
+           FROM b, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+    nrm AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM ve GROUP BY vec_id),
+    dots AS (
+        SELECT va.vec_id AS a, vb.vec_id AS b, SUM(va.x * vb.x) AS dot
+        FROM ve va JOIN ve vb ON va.i = vb.i AND va.bucket = vb.bucket AND va.vec_id < vb.vec_id
+        GROUP BY va.vec_id, vb.vec_id
+    ),
+    sims AS (
+        SELECT a, b, dot / (na.nrm * nb.nrm) AS sim
+        FROM dots JOIN nrm na ON na.vec_id = a JOIN nrm nb ON nb.vec_id = b
+    )
+    SELECT a, b, {_floor_e("sim", 4)} AS sim_e4 FROM sims WHERE sim >= 0.35
+"""
+
+
+# --------------------------------------------------------------------------
+# Single-level modularity optimization on the nation cliques
+# --------------------------------------------------------------------------
+
+def q_modularity_optimization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    edges = _nation_clique_edges(spark, sf_dir)
+    vertices = nation.select((10 + F.col("n_nationkey")).cast("long").alias("node_id"))
+    g = LinkGraph(edges=edges, vertices=vertices)
+    res = modularity_optimization(g)
+    canon = res.communities.groupBy("community").agg(F.min("node_id").alias("canon"))
+    return res.communities.join(canon, "community").select(
+        "node_id", F.col("canon").alias("community")
+    )
+
+
+Q_MODOPT_SQL = """
+    SELECT CAST(10 + n_nationkey AS BIGINT) AS node_id,
+           CAST(10 + MIN(n_nationkey) OVER (PARTITION BY n_regionkey) AS BIGINT) AS community
+    FROM nation
+"""
+
+
+# --------------------------------------------------------------------------
+# IVF ANN: rows-only (cells derive from float k-means centroids)
+# --------------------------------------------------------------------------
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return ivf_topk(emb, queries, k=5, n_clusters=8, n_probe=3, seed=11).select(
+        "query_id", "neighbor_id", "rank", _e(F.col("sim"), 4).alias("sim_e4")
+    )
+
+
+QUERIES_EXT3 = {
+    "betweenness_supply_tree": q_betweenness,
+    "triangle_listing_coparts": q_triangle_listing,
+    "subgraph_filter_degree": q_subgraph_degree,
+    "filtered_node_similarity": q_filtered_nodesim,
+    "embedding_near_dup": q_embedding_near_dup,
+    "modularity_opt_nation_cliques": q_modularity_optimization,
+    "ivf_cosine_topk": q_ivf_topk,
+}
+
+ORACLES_EXT3 = {
+    "betweenness_supply_tree": Q_BETWEENNESS_SQL,
+    "triangle_listing_coparts": Q_TRIANGLE_LISTING_SQL,
+    "subgraph_filter_degree": Q_SUBGRAPH_SQL,
+    "filtered_node_similarity": Q_FILTERED_NODESIM_SQL,
+    "embedding_near_dup": Q_EMBEDDING_NEAR_DUP_SQL,
+    "modularity_opt_nation_cliques": Q_MODOPT_SQL,
+    # ivf_cosine_topk: intentionally no oracle — cell boundaries depend on
+    # float k-means centroids; recall vs the exact path is asserted in tests.
+}
