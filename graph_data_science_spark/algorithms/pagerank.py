@@ -87,6 +87,7 @@ def _rank_loop(
     num_blocks: int | None,
     hot_degree_threshold: int,
     message_path: str = "sql",
+    fuse: int = 1,
 ) -> RankResult:
     """``message_path``: 'sql' (default) keeps the per-superstep SpMV fully
     JVM-side (co-partitioned join + hash agg — the fast path for reducible
@@ -146,6 +147,11 @@ def _rank_loop(
         ]
         running = _fold(None, frames)
         delta = frames[-1]
+        if "_s" in delta.columns:
+            # Fused commits union several rounds; only the last round's
+            # rows are the live active set.
+            last_s = delta.agg(F.max("_s").alias("m")).collect()[0]["m"]
+            delta = delta.filter(F.col("_s") == last_s).select("node", "delta")
         start = last + 1
         pending_init: list[DataFrame] = []  # all committed deltas already folded
     else:
@@ -173,27 +179,50 @@ def _rank_loop(
     pending: list[DataFrame] = pending_init
     converged = False
     it = start - 1
-    for it in range(start, max_iterations):
+    while it + 1 < max_iterations:
         it_t0 = _time.monotonic()
-        active = delta.filter(F.col("delta") > tolerance).select("node", F.col("delta").alias("msg_val"))
-        msgs = msg_fn(active)
-        new_delta = msgs.select(
-            F.col("dst").alias("node"), (F.lit(damping) * F.col("msg")).alias("delta")
-        )
-        # Convergence counter rides the commit job (no extra action).
+        # Fuse up to `fuse` message rounds into ONE Spark job: the
+        # tolerance gate between rounds stays inside the plan (it governs
+        # SENDING, exactly like vote-to-halt — running a round after
+        # convergence is a provable no-op, so late detection can't change
+        # scores), the per-round deltas are committed as one tagged union
+        # (the fold sums rows regardless), and only the last round's rows
+        # feed the next active set. The shared per-round subplan is
+        # deduplicated by Spark's exchange reuse. Cuts the fixed
+        # job-launch/commit overhead per superstep by the fusion factor.
+        rounds = min(fuse, max_iterations - (it + 1))
+        cur = delta.filter(F.col("delta") > tolerance).select("node", "delta")
+        frames = []
+        for r in range(rounds):
+            msgs = msg_fn(cur.select("node", F.col("delta").alias("msg_val")))
+            nd = msgs.select(
+                F.col("dst").alias("node"), (F.lit(damping) * F.col("msg")).alias("delta")
+            )
+            frames.append(nd.select("node", "delta", F.lit(r).alias("_s")))
+            if r + 1 < rounds:
+                cur = nd.filter(F.col("delta") > tolerance).select("node", "delta")
+        fused = frames[0]
+        for fr in frames[1:]:
+            fused = fused.union(fr)
         obs = Observation()
-        new_delta = new_delta.observe(
-            obs, F.sum(F.when(F.col("delta") > tolerance, 1).otherwise(0)).alias("active")
+        fused = fused.observe(
+            obs,
+            F.sum(
+                F.when((F.col("_s") == rounds - 1) & (F.col("delta") > tolerance), 1).otherwise(0)
+            ).alias("active"),
         )
-        delta = loop.commit(new_delta, it, {}, observation=obs)
-        pending.append(delta)
-        updates += 1
-        walls.append(_time.monotonic() - it_t0)
+        it += rounds
+        committed = loop.commit(fused, it, {}, observation=obs)
+        delta = committed.filter(F.col("_s") == rounds - 1).select("node", "delta")
+        pending.append(committed)
+        updates += rounds
+        wall = _time.monotonic() - it_t0
+        walls.extend([wall / rounds] * rounds)
         if len(pending) >= fold_every:
-            # Keep the newest delta out of the fold: _fold frees what it
-            # sums, and `delta` is still the next superstep's active set.
+            # Keep the newest frame out of the fold: _fold frees what it
+            # sums, and `delta` still derives from it for the next round.
             running = _fold(running, pending[:-1])
-            pending = [delta]
+            pending = [pending[-1]]
         if not (obs.get.get("active") or 0):
             converged = True
             break
@@ -234,12 +263,19 @@ def pagerank(
     num_blocks: int | None = None,
     hot_degree_threshold: int = 2_000_000,
     message_path: str = "sql",
+    fuse: int = 1,
 ) -> RankResult:
+    """``fuse``: number of message rounds executed per Spark job (default
+    1 = classic one-job-per-superstep). Fusion is score-exact (the
+    tolerance gate stays between rounds inside the plan) and trades
+    convergence-detection granularity for a proportional cut in fixed
+    per-superstep overhead — the right knob when supersteps are
+    overhead-bound (small graphs or very fast clusters)."""
     norm = _normalized_edges(graph, weighted)
     return _rank_loop(
         graph, norm, damping, tolerance, max_iterations, source_nodes,
         checkpoint_dir, "pagerank", num_blocks, hot_degree_threshold,
-        message_path=message_path,
+        message_path=message_path, fuse=fuse,
     )
 
 
