@@ -243,3 +243,111 @@ ORACLES_EXT3 = {
     # ivf_cosine_topk: intentionally no oracle — cell boundaries depend on
     # float k-means centroids; recall vs the exact path is asserted in tests.
 }
+
+
+# --------------------------------------------------------------------------
+# Leiden on the nation cliques (optimum = the cliques; connectivity is the
+# guarantee under test elsewhere)
+# --------------------------------------------------------------------------
+
+def q_leiden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graph_data_science_spark.algorithms.louvain import leiden
+
+    nation = _t(spark, sf_dir, "nation")
+    edges = _nation_clique_edges(spark, sf_dir)
+    vertices = nation.select((10 + F.col("n_nationkey")).cast("long").alias("node_id"))
+    g = LinkGraph(edges=edges, vertices=vertices)
+    res = leiden(g)
+    canon = res.communities.groupBy("community").agg(F.min("node_id").alias("canon"))
+    return res.communities.join(canon, "community").select(
+        "node_id", F.col("canon").alias("community")
+    )
+
+
+Q_LEIDEN_SQL = """
+    SELECT CAST(10 + n_nationkey AS BIGINT) AS node_id,
+           CAST(10 + MIN(n_nationkey) OVER (PARTITION BY n_regionkey) AS BIGINT) AS community
+    FROM nation
+"""
+
+
+# --------------------------------------------------------------------------
+# Indirect exposure over the weighted supply tree from sanctioned region 0
+# (a tree: every reached node has a unique parent, so exposure, hop, parent
+# and root all have closed forms)
+# --------------------------------------------------------------------------
+
+def q_indirect_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graph_data_science_spark.algorithms.exposure import indirect_exposure
+
+    g = _supply_tree_graph(spark, sf_dir, weighted=True)
+    sanc = spark.createDataFrame([(0,)], "node_id long")
+    return indirect_exposure(g, sanc).select(
+        "node_id", _e(F.col("exposure"), 8).alias("exposure_e8"), "hop", "parent", "root"
+    )
+
+
+Q_INDIRECT_EXPOSURE_SQL = """
+    WITH wn AS (SELECT n_nationkey, n_regionkey, CAST(1 + n_nationkey % 3 AS DOUBLE) AS w FROM nation),
+    wc AS (SELECT c_custkey, c_nationkey, CAST(1 + c_custkey % 7 AS DOUBLE) AS w FROM customer),
+    ws AS (SELECT s_suppkey, s_nationkey, CAST(1 + s_suppkey % 5 AS DOUBLE) AS w FROM supplier),
+    wo AS (SELECT o_orderkey, o_custkey, CAST(1 + o_orderkey % 11 AS DOUBLE) AS w FROM orders),
+    nat_tot AS (
+        SELECT wn.n_nationkey, wn.n_regionkey, wn.w,
+               wn.w + COALESCE((SELECT SUM(w) FROM wc WHERE c_nationkey = wn.n_nationkey), 0)
+                    + COALESCE((SELECT SUM(w) FROM ws WHERE s_nationkey = wn.n_nationkey), 0) AS total
+        FROM wn
+    ),
+    cust_tot AS (
+        SELECT wc.c_custkey, wc.c_nationkey, wc.w,
+               wc.w + COALESCE((SELECT SUM(w) FROM wo WHERE o_custkey = wc.c_custkey), 0) AS total
+        FROM wc
+    ),
+    nat_exp AS (
+        SELECT n_nationkey, w / total AS exposure FROM nat_tot WHERE n_regionkey = 0
+    ),
+    cust_exp AS (
+        SELECT ct.c_custkey, ct.c_nationkey, ne.exposure * ct.w / ct.total AS exposure
+        FROM cust_tot ct JOIN nat_exp ne ON ne.n_nationkey = ct.c_nationkey
+    )
+    SELECT CAST(0 AS BIGINT) AS node_id,
+           CAST(FLOOR(1.0 * 1e8 + 0.3183098861837907) AS BIGINT) AS exposure_e8,
+           CAST(0 AS INT) AS hop, CAST(0 AS BIGINT) AS parent, CAST(0 AS BIGINT) AS root
+    UNION ALL
+    SELECT CAST(r_regionkey AS BIGINT), CAST(FLOOR(0.0 * 1e8 + 0.3183098861837907) AS BIGINT),
+           NULL, NULL, NULL
+    FROM region WHERE r_regionkey <> 0
+    UNION ALL
+    SELECT CAST(10 + nt.n_nationkey AS BIGINT),
+           CAST(FLOOR(CASE WHEN nt.n_regionkey = 0 THEN nt.w / nt.total ELSE 0.0 END * 1e8 + 0.3183098861837907) AS BIGINT),
+           CASE WHEN nt.n_regionkey = 0 THEN 1 ELSE NULL END,
+           CASE WHEN nt.n_regionkey = 0 THEN 0 ELSE NULL END,
+           CASE WHEN nt.n_regionkey = 0 THEN 0 ELSE NULL END
+    FROM nat_tot nt
+    UNION ALL
+    SELECT CAST(50 + ws.s_suppkey AS BIGINT),
+           CAST(FLOOR(COALESCE(ne.exposure * ws.w / ws.w, 0.0) * 1e8 + 0.3183098861837907) AS BIGINT),
+           CASE WHEN ne.n_nationkey IS NOT NULL THEN 2 ELSE NULL END,
+           CASE WHEN ne.n_nationkey IS NOT NULL THEN CAST(10 + ws.s_nationkey AS BIGINT) ELSE NULL END,
+           CASE WHEN ne.n_nationkey IS NOT NULL THEN 0 ELSE NULL END
+    FROM ws LEFT JOIN nat_exp ne ON ne.n_nationkey = ws.s_nationkey
+    UNION ALL
+    SELECT CAST(1000 + ct.c_custkey AS BIGINT),
+           CAST(FLOOR(COALESCE(ce.exposure, 0.0) * 1e8 + 0.3183098861837907) AS BIGINT),
+           CASE WHEN ce.c_custkey IS NOT NULL THEN 2 ELSE NULL END,
+           CASE WHEN ce.c_custkey IS NOT NULL THEN CAST(10 + ct.c_nationkey AS BIGINT) ELSE NULL END,
+           CASE WHEN ce.c_custkey IS NOT NULL THEN 0 ELSE NULL END
+    FROM cust_tot ct LEFT JOIN cust_exp ce ON ce.c_custkey = ct.c_custkey
+    UNION ALL
+    SELECT CAST(10000 + wo.o_orderkey AS BIGINT),
+           CAST(FLOOR(COALESCE(ce.exposure * wo.w / wo.w, 0.0) * 1e8 + 0.3183098861837907) AS BIGINT),
+           CASE WHEN ce.c_custkey IS NOT NULL THEN 3 ELSE NULL END,
+           CASE WHEN ce.c_custkey IS NOT NULL THEN CAST(1000 + wo.o_custkey AS BIGINT) ELSE NULL END,
+           CASE WHEN ce.c_custkey IS NOT NULL THEN 0 ELSE NULL END
+    FROM wo LEFT JOIN cust_exp ce ON ce.c_custkey = wo.o_custkey
+"""
+
+QUERIES_EXT3["leiden_nation_cliques"] = q_leiden
+QUERIES_EXT3["indirect_exposure_supply_tree"] = q_indirect_exposure
+ORACLES_EXT3["leiden_nation_cliques"] = Q_LEIDEN_SQL
+ORACLES_EXT3["indirect_exposure_supply_tree"] = Q_INDIRECT_EXPOSURE_SQL

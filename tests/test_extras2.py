@@ -123,3 +123,73 @@ def test_rwr_sample(spark):
     # deterministic
     sub2 = rwr_sample(g, starts, sample_fraction=0.3, restart_probability=0.2, random_seed=4)
     assert sampled == {r["node_id"] for r in sub2.vertices.collect()}
+
+
+def test_leiden_connectivity_guarantee(spark):
+    from graph_data_science_spark.algorithms.louvain import leiden
+
+    # Two K4s + a bridge: optimal partition = the cliques, all connected.
+    k4a = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    k4b = [(i + 4, j + 4) for i in range(4) for j in range(i + 1, 4)]
+    g = from_edge_list(spark, k4a + k4b + [(0, 4)], node_count=8)
+    res = leiden(g)
+    byc = {}
+    for r in res.communities.collect():
+        byc.setdefault(r["community"], set()).add(r["node_id"])
+    groups = {frozenset(v) for v in byc.values()}
+    assert groups == {frozenset(range(4)), frozenset(range(4, 8))}
+    # every community is connected over the input edges — the guarantee
+    edges = {(s, d) for s, d in k4a + k4b + [(0, 4)]}
+    for members in groups:
+        seen = {min(members)}
+        frontier = {min(members)}
+        while frontier:
+            nxt = set()
+            for a, b in edges:
+                if a in frontier and b in members and b not in seen:
+                    nxt.add(b)
+                if b in frontier and a in members and a not in seen:
+                    nxt.add(a)
+            seen |= nxt
+            frontier = nxt
+        assert seen == members
+
+
+def test_leiden_gamma_resolution(spark):
+    from graph_data_science_spark.algorithms.louvain import leiden
+
+    # A single K6: gamma=1 merges it; a large gamma forbids any merge
+    # (gain k_ic − γ·k_i·Σtot/2m goes negative) → all singletons.
+    k6 = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    g = from_edge_list(spark, k6, node_count=6)
+    low = leiden(g, gamma=1.0)
+    n_low = low.communities.select("community").distinct().count()
+    high = leiden(g, gamma=10.0)
+    n_high = high.communities.select("community").distinct().count()
+    assert n_low == 1
+    assert n_high == 6
+
+
+def test_indirect_exposure_reference_fixture(spark):
+    from graph_data_science_spark.algorithms.exposure import indirect_exposure
+
+    # IndirectExposureTest.java GDL graph: e00..e42 = 0..10; UNDIRECTED.
+    edges = [
+        (0, 1, 10.0), (0, 2, 20.0), (0, 3, 30.0), (1, 4, 40.0), (2, 5, 50.0),
+        (2, 6, 60.0), (3, 6, 70.0), (3, 7, 80.0), (5, 8, 90.0), (8, 9, 100.0),
+    ]
+    g = from_edge_list(spark, edges, node_count=11)
+    sanc = spark.createDataFrame([(0,)], "node_id long")
+    rows = {r["node_id"]: r for r in indirect_exposure(g, sanc).collect()}
+    expected = {  # node: (exposure, hop, parent, root)
+        0: (1.0, 0, 0, 0), 1: (0.200, 1, 0, 0), 2: (0.154, 1, 0, 0),
+        3: (0.167, 1, 0, 0), 4: (0.200, 2, 1, 0), 5: (0.055, 2, 2, 0),
+        6: (0.090, 2, 3, 0), 7: (0.167, 2, 3, 0), 8: (0.026, 3, 5, 0),
+        9: (0.026, 4, 8, 0),
+    }
+    for nid, (exp, hop, par, root) in expected.items():
+        r = rows[nid]
+        assert r["exposure"] == pytest.approx(exp, abs=1e-3), f"node {nid}"
+        assert r["hop"] == hop and r["parent"] == par and r["root"] == root, f"node {nid}"
+    r42 = rows[10]  # disconnected: defaults
+    assert r42["exposure"] == 0.0 and r42["hop"] is None and r42["parent"] is None
