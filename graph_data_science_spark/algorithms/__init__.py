@@ -1,38 +1,67 @@
+from graph_data_science_spark.algorithms.betweenness import betweenness
+from graph_data_science_spark.algorithms.centrality_extra import (
+    closeness,
+    harmonic_centrality,
+    msbfs_distances,
+)
 from graph_data_science_spark.algorithms.coloring import k1coloring
 from graph_data_science_spark.algorithms.degree import degree_centrality
+from graph_data_science_spark.algorithms.exposure import indirect_exposure
 from graph_data_science_spark.algorithms.fastrp import fastrp
 from graph_data_science_spark.algorithms.hits import hits
+from graph_data_science_spark.algorithms.kmeans import kmeans
+from graph_data_science_spark.algorithms.knn import knn
 from graph_data_science_spark.algorithms.labelprop import label_propagation
-from graph_data_science_spark.algorithms.louvain import louvain
+from graph_data_science_spark.algorithms.louvain import leiden, louvain, modularity_optimization
 from graph_data_science_spark.algorithms.misc import conductance, k_core, modularity, topological_sort
 from graph_data_science_spark.algorithms.pagerank import article_rank, eigenvector, pagerank
 from graph_data_science_spark.algorithms.paths import bfs_levels, shortest_paths
 from graph_data_science_spark.algorithms.scaling import scale_properties
 from graph_data_science_spark.algorithms.scc import scc
-from graph_data_science_spark.algorithms.similarity import node_similarity
-from graph_data_science_spark.algorithms.triangles import local_clustering_coefficient, triangle_count
+from graph_data_science_spark.algorithms.similarity import filtered_node_similarity, node_similarity
+from graph_data_science_spark.algorithms.sllpa import speaker_listener_lpa
+from graph_data_science_spark.algorithms.triangles import (
+    local_clustering_coefficient,
+    triangle_count,
+    triangle_listing,
+)
+from graph_data_science_spark.algorithms.walks import collapse_path, random_walks
 from graph_data_science_spark.algorithms.wcc import wcc
 
 __all__ = [
     "article_rank",
+    "betweenness",
     "bfs_levels",
+    "closeness",
+    "collapse_path",
     "conductance",
     "degree_centrality",
     "eigenvector",
     "fastrp",
+    "filtered_node_similarity",
+    "harmonic_centrality",
     "hits",
+    "indirect_exposure",
     "k1coloring",
     "k_core",
+    "kmeans",
+    "knn",
     "label_propagation",
+    "leiden",
     "louvain",
     "local_clustering_coefficient",
     "modularity",
+    "modularity_optimization",
+    "msbfs_distances",
     "node_similarity",
     "pagerank",
+    "random_walks",
     "scale_properties",
     "scc",
     "shortest_paths",
+    "speaker_listener_lpa",
     "topological_sort",
     "triangle_count",
+    "triangle_listing",
     "wcc",
 ]
