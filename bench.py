@@ -42,6 +42,37 @@ SCALING_WARMUP = 3  # JIT/codegen warmup supersteps excluded from the median
 SCALING_MEASURED = 4
 SCALING_N_CONV = int(os.environ.get("SPARK_GRAFT_SCALING_CONV", "2000000"))
 
+# Sentinel guard (VERDICT r2: BENCH_r02 was recorded under machine
+# contention and is invalid as a performance record). pricing_summary is a
+# plain Catalyst aggregation whose cost is stable across rounds — its
+# committed reference wall is 0.66s (judge's idle re-run, r1 recorded
+# 0.55s). If the warm sentinel exceeds 2x that, the box is loaded and the
+# whole record would be garbage: abort instead of recording it.
+SENTINEL_QUERY = "pricing_summary"
+SENTINEL_REF_SEC = 0.66
+SENTINEL_FACTOR = 2.0
+
+
+def _loadavg() -> list:
+    return [round(x, 2) for x in os.getloadavg()]
+
+
+def _cpu_jiffies() -> tuple:
+    """(total, busy) jiffies from /proc/stat line 1 (all cpus)."""
+    with open("/proc/stat") as fh:
+        vals = [int(x) for x in fh.readline().split()[1:]]
+    total = sum(vals)
+    idle = vals[3] + (vals[4] if len(vals) > 4 else 0)  # idle + iowait
+    return total, total - idle
+
+
+def _busy_cores(before: tuple, after: tuple) -> float:
+    """Average busy cores machine-wide over the window (0..ncpus)."""
+    dt = after[0] - before[0]
+    db = after[1] - before[1]
+    ncpu = os.cpu_count() or 1
+    return round(ncpu * db / dt, 2) if dt > 0 else 0.0
+
 
 def _sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
@@ -116,9 +147,13 @@ def scaling_run(cpus: int, n_conv: int, out_json: str) -> None:
     )
     g = closed_form_link_graph(spark, n_conv, cycle=True)
     n_edges = g.relationship_count()
+    load_before = _loadavg()
+    jiff_before = _cpu_jiffies()
     res = pagerank(g, tolerance=0.0, max_iterations=SCALING_WARMUP + SCALING_MEASURED + 1)
+    jiff_after = _cpu_jiffies()
     measured = res.superstep_walls[SCALING_WARMUP:]
     med = statistics.median(measured)
+    busy = _busy_cores(jiff_before, jiff_after)
     with open(out_json, "w") as fh:
         json.dump(
             {
@@ -127,6 +162,13 @@ def scaling_run(cpus: int, n_conv: int, out_json: str) -> None:
                 "superstep_walls": res.superstep_walls,
                 "median_superstep_sec": med,
                 "throughput_edges_per_sec_per_superstep": n_edges / med,
+                "loadavg_before": load_before,
+                "loadavg_after": _loadavg(),
+                # machine-wide busy cores averaged over the whole run: if
+                # the memory-bandwidth thesis holds, this stays ~= cpus
+                # (cores are busy) while throughput/core falls.
+                "busy_cores_avg": busy,
+                "cpu_utilization_of_level": round(busy / cpus, 3),
             },
             fh,
         )
@@ -154,7 +196,39 @@ def main() -> None:
         extra_conf={"spark.default.parallelism": str(cpus)},
     )
 
+    load_start = _loadavg()
     edges_path, node_count, n_edges = _build_graph_parquet(spark, sf, work)
+
+    # Sentinel: run the fixed reference query twice (first run warms the
+    # JVM/codegen), take the warm wall, abort when the box is loaded —
+    # an invalid record is worse than no record.
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+    sentinel_walls = []
+    for _ in range(2):
+        t0 = time.monotonic()
+        queries[SENTINEL_QUERY](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        sentinel_walls.append(time.monotonic() - t0)
+    sentinel = min(sentinel_walls)
+    if sentinel > SENTINEL_FACTOR * SENTINEL_REF_SEC and not os.environ.get(
+        "SPARK_GRAFT_SKIP_SENTINEL"
+    ):
+        print(
+            json.dumps(
+                {
+                    "error": "sentinel_overloaded",
+                    "detail": (
+                        f"{SENTINEL_QUERY} took {sentinel:.2f}s warm vs committed "
+                        f"reference {SENTINEL_REF_SEC}s (limit {SENTINEL_FACTOR}x); "
+                        "machine is under load — rerun on an idle box "
+                        "(set SPARK_GRAFT_SKIP_SENTINEL=1 to override)"
+                    ),
+                    "loadavg": _loadavg(),
+                }
+            )
+        )
+        sys.exit(3)
 
     # Headline: PageRank to 1e-6 convergence on the transcript link graph.
     res, pr_wall = _run_pagerank(spark, edges_path, node_count, 100, 1e-6)
@@ -162,10 +236,7 @@ def main() -> None:
     throughput = (n_edges * supersteps) / pr_wall if pr_wall > 0 else 0.0
 
     # Operator queries at the sf dir (engine + datapipe headliners).
-    import __spark_entry__ as entrymod
-
     qtimes: dict[str, float] = {"pagerank_transcripts": round(pr_wall, 3)}
-    queries = entrymod.queries()
     for name in (
         "wcc_order_chains",
         "triangle_count_coparts",
@@ -214,6 +285,14 @@ def main() -> None:
                 "supersteps": supersteps,
                 "converged": res.did_converge,
                 "throughput_edges_per_sec_per_superstep": round(throughput, 1),
+                "superstep_walls": [round(x, 3) for x in (res.superstep_walls or [])],
+                "sentinel": {
+                    "query": SENTINEL_QUERY,
+                    "walls_sec": [round(x, 3) for x in sentinel_walls],
+                    "reference_sec": SENTINEL_REF_SEC,
+                    "limit_factor": SENTINEL_FACTOR,
+                },
+                "loadavg": {"start": load_start, "end": _loadavg()},
                 "scaling": {
                     "protocol": "constant-work cycle graph, 3 warmup + 4 measured supersteps, median",
                     "edges": scale_results[8]["edges"],
@@ -223,6 +302,23 @@ def main() -> None:
                     "throughput": {str(n): round(thr[n], 1) for n in thr},
                     "efficiency_N2_to_4N8": round(efficiency_2_8, 3),
                     "efficiency_N8_to_4N32": round(efficiency_8_32, 3),
+                    "superstep_walls": {
+                        str(n): [round(x, 3) for x in scale_results[n]["superstep_walls"]]
+                        for n in scale_results
+                    },
+                    "busy_cores_avg": {
+                        str(n): scale_results[n]["busy_cores_avg"] for n in scale_results
+                    },
+                    "cpu_utilization_of_level": {
+                        str(n): scale_results[n]["cpu_utilization_of_level"] for n in scale_results
+                    },
+                    "loadavg": {
+                        str(n): {
+                            "before": scale_results[n]["loadavg_before"],
+                            "after": scale_results[n]["loadavg_after"],
+                        }
+                        for n in scale_results
+                    },
                 },
             }
         )

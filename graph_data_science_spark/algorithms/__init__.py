@@ -15,7 +15,9 @@ from graph_data_science_spark.algorithms.labelprop import label_propagation
 from graph_data_science_spark.algorithms.louvain import leiden, louvain, modularity_optimization
 from graph_data_science_spark.algorithms.misc import conductance, k_core, modularity, topological_sort
 from graph_data_science_spark.algorithms.pagerank import article_rank, eigenvector, pagerank
-from graph_data_science_spark.algorithms.paths import bfs_levels, shortest_paths
+from graph_data_science_spark.algorithms.hashgnn import hashgnn
+from graph_data_science_spark.algorithms.node2vec import node2vec
+from graph_data_science_spark.algorithms.paths import bfs_levels, dijkstra, shortest_paths
 from graph_data_science_spark.algorithms.scaling import scale_properties
 from graph_data_science_spark.algorithms.scc import scc
 from graph_data_science_spark.algorithms.similarity import filtered_node_similarity, node_similarity
@@ -32,6 +34,9 @@ __all__ = [
     "article_rank",
     "betweenness",
     "bfs_levels",
+    "dijkstra",
+    "hashgnn",
+    "node2vec",
     "closeness",
     "collapse_path",
     "conductance",

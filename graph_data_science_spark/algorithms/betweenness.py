@@ -28,7 +28,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graph_data_science_spark.graph.build import LinkGraph
-from graph_data_science_spark.pregel.superstep import materialize_roundtrip
+from graph_data_science_spark.pregel.superstep import (
+    materialize_roundtrip,
+    roundtrip_mark,
+    roundtrip_release,
+)
 
 
 def betweenness(
@@ -36,15 +40,36 @@ def betweenness(
     sources: DataFrame | None = None,
     undirected: bool = False,
     max_depth: int | None = None,
+    exact_source_limit: int | None = None,
+    auto_sample_size: int | None = None,
 ) -> DataFrame:
     """(node_id, score). ``sources=None`` runs exact Brandes from every
-    node; pass a sampled frame for the approximation. ``undirected=True``
-    halves scores (each pair visited from both endpoints), matching the
-    reference's divisor — pass it when the edge table is symmetrized."""
+    node up to ``exact_source_limit`` nodes (default
+    guard_all_sources.DEFAULT_EXACT_SOURCE_LIMIT); larger graphs are
+    auto-sampled with a logged cap — exact all-sources Brandes state is
+    O(V·reachable) pair rows, a scale-killer the reference also guards via
+    SelectionStrategy sampling. Pass a sampled frame for the standard
+    approximation. ``undirected=True`` halves scores (each pair visited
+    from both endpoints), matching the reference's divisor — pass it when
+    the edge table is symmetrized."""
+    from graph_data_science_spark.algorithms.centrality_extra import (
+        DEFAULT_AUTO_SAMPLE_SIZE,
+        DEFAULT_EXACT_SOURCE_LIMIT,
+        guard_all_sources,
+    )
+
     spark = graph.edges.sparkSession
+    _mark = roundtrip_mark()
     edges = graph.edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
     edges = materialize_roundtrip(edges, tag="bc_edges")
 
+    sources, _sampled = guard_all_sources(
+        graph,
+        sources,
+        "betweenness",
+        exact_source_limit if exact_source_limit is not None else DEFAULT_EXACT_SOURCE_LIMIT,
+        auto_sample_size if auto_sample_size is not None else DEFAULT_AUTO_SAMPLE_SIZE,
+    )
     if sources is None:
         src_nodes = graph.node_ids().select(F.col("node_id").alias("source"))
     else:
@@ -74,7 +99,7 @@ def betweenness(
             break
         levels.append(frontier)
         visited = materialize_roundtrip(
-            visited.union(frontier.select("source", "node")), tag="bc_v"
+            visited.union(frontier.select("source", "node")), tag="bc_v", keep_last=2
         )
 
     # ---- backward: delta sweeps from the deepest level up -----------------
@@ -126,8 +151,14 @@ def betweenness(
         scored = alld.groupBy(F.col("node").alias("node_id")).agg(
             (F.sum("delta") / F.lit(divisor)).alias("score")
         )
+        # Bake the aggregate down to V rows, then reclaim every per-level
+        # (source, node) frame — exact Brandes state is O(V·sources) rows
+        # per level and must not accumulate in /dev/shm for the caller''s
+        # lifetime.
+        scored = materialize_roundtrip(scored, tag="bc_out")
     else:
         scored = spark.createDataFrame([], "node_id long, score double")
+    roundtrip_release(_mark, keep=[scored])
     return (
         graph.node_ids()
         .join(scored, "node_id", "left")

@@ -53,7 +53,7 @@ def k1coloring(graph: LinkGraph, max_iterations: int = 100) -> ColoringResult:
     # Parquet round-trip per round — the validation pass references colors
     # twice per round; see pregel.superstep.materialize_roundtrip.
     colors = materialize_roundtrip(
-        nodes.select("node", F.lit(0).cast("long").alias("color")), tag="k1c"
+        nodes.select("node", F.lit(0).cast("long").alias("color")), tag="k1c", keep_last=2
     )
     dirty = colors.select("node")  # everyone recolors in round 1
 
@@ -78,7 +78,7 @@ def k1coloring(graph: LinkGraph, max_iterations: int = 100) -> ColoringResult:
             colors.join(nbr_colors, "node", "left")
             .select("node", F.coalesce(F.col("new_color"), F.col("color")).alias("color"))
         )
-        colors = materialize_roundtrip(recolored, tag="k1c")
+        colors = materialize_roundtrip(recolored, tag="k1c", keep_last=2)
 
         # 2. validate: equal-colored edges re-dirty the higher endpoint.
         a = colors.select(F.col("node").alias("src"), F.col("color").alias("ca"))
@@ -91,7 +91,7 @@ def k1coloring(graph: LinkGraph, max_iterations: int = 100) -> ColoringResult:
             .distinct()
             .observe(obs, F.count(F.lit(1)).alias("n"))
         )
-        dirty = materialize_roundtrip(conflicts, tag="k1c_dirty")
+        dirty = materialize_roundtrip(conflicts, tag="k1c_dirty", keep_last=2)
         if not int(obs.get.get("n") or 0):
             converged = True
             break

@@ -25,7 +25,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from graph_data_science_spark.graph.build import LinkGraph
-from graph_data_science_spark.pregel.superstep import materialize_roundtrip
+from graph_data_science_spark.pregel.superstep import (
+    materialize_roundtrip,
+    roundtrip_mark,
+    roundtrip_release,
+)
 
 
 def indirect_exposure(
@@ -36,6 +40,7 @@ def indirect_exposure(
     """(node_id, exposure, hop, parent, root); unreached nodes carry
     exposure 0.0 and null hop/parent/root (the UNDEFINED sentinel)."""
     spark = graph.edges.sparkSession
+    _mark = roundtrip_mark()
     edges = graph.edges.select("src", "dst", F.col("weight").cast("double").alias("w"))
     # total transfer volume per node: Σ|w| over both directions.
     vol = (
@@ -94,11 +99,15 @@ def indirect_exposure(
         if frontier.limit(1).count() == 0:
             break
         results.append(frontier)
-        visited = materialize_roundtrip(visited.union(frontier.select("node")), tag="expo_v")
+        visited = materialize_roundtrip(
+            visited.union(frontier.select("node")), tag="expo_v", keep_last=2
+        )
 
     out = results[0]
     for r in results[1:]:
         out = out.union(r)
+    out = materialize_roundtrip(out, tag="expo_out")
+    roundtrip_release(_mark, keep=[out])
     nodes = graph.node_ids()
     return (
         nodes.join(out.withColumnRenamed("node", "node_id"), "node_id", "left")

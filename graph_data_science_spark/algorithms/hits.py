@@ -55,7 +55,16 @@ def hits(
         ),
         num_partitions=num_blocks,
     )
-    loop = SuperstepLoop(spark, "hits", checkpoint_dir, lineage=edge_lineage(graph.edges))
+    loop = SuperstepLoop(
+        spark,
+        "hits",
+        checkpoint_dir,
+        lineage=edge_lineage(
+            graph.edges,
+            params={"algo": "hits"},
+            content_sample=checkpoint_dir is not None,
+        ),
+    )
 
     nodes = graph.node_ids().select(F.col("node_id").alias("node"))
     state = nodes.select("node", F.lit(0.0).alias("auth"), F.lit(1.0).alias("hub"))

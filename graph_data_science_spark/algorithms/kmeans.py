@@ -57,8 +57,19 @@ def kmeans(
     ).persist()
     n = df.count()
     if k >= n:
-        out = df.select("node_id", F.col("node_id").cast("int").alias("community"), F.lit(0.0).alias("distance"))
-        cents = [r["vec"] for r in df.orderBy("node_id").collect()]
+        # Degenerate k >= n: every node is its own cluster. Communities must
+        # be DENSE 0..n-1 indices aligned with the returned centroid list —
+        # downstream consumers (ivf_topk) join community against
+        # range(len(centroids)), so raw node ids would silently never match.
+        from pyspark.sql import Window
+
+        w = Window.orderBy("node_id")
+        out = df.select(
+            "node_id",
+            (F.row_number().over(w) - 1).cast("int").alias("community"),
+            F.lit(0.0).alias("distance"),
+        )
+        cents = [list(r["vec"]) for r in df.orderBy("node_id").collect()]
         df.unpersist()
         return KmeansResult(out, cents, 0, True)
 

@@ -54,7 +54,16 @@ def knn(
     max_iterations: int = 10,
     delta_threshold: float = 0.001,
     random_seed: int = 42,
+    explore: int = 0,
+    min_iterations: int = 0,
 ) -> KnnResult:
+    """``explore``: fresh seeded-random candidate partners per node per
+    iteration (the reference's randomJoins/sampling analog,
+    Knn.java) — escapes the local optima a pure neighbor-of-neighbor
+    closure can plateau at; 0 keeps the classic closure only.
+    ``min_iterations``: don't declare convergence before this many rounds —
+    with exploration on, a single quiet round only means THIS round's
+    random draws found nothing, not that the search is exhausted."""
     df = nodes.select(
         F.col(id_col).cast("long").alias("node_id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
@@ -100,7 +109,7 @@ def knn(
     # times (forward, reverse, wedge join) — see
     # pregel.superstep.materialize_roundtrip for why plain persist unrolls
     # the analyzer tree exponentially across rounds.
-    cur = materialize_roundtrip(topk(init), tag="knn")
+    cur = materialize_roundtrip(topk(init), tag="knn", keep_last=2)
     converged = False
     it = 0
     for it in range(1, max_iterations + 1):
@@ -114,15 +123,33 @@ def knn(
             .filter(F.col("x") != F.col("y"))
             .select(F.col("x").alias("a"), F.col("y").alias("b"))
         )
-        cand = nbr.union(rev.filter(F.col("a") != F.col("b"))).union(non).distinct()
-        new = materialize_roundtrip(topk(cand), tag="knn")
+        cand = nbr.union(rev.filter(F.col("a") != F.col("b"))).union(non)
+        if explore > 0:
+            fresh = (
+                df.select("node_id").crossJoin(
+                    spark.range(explore).select(F.col("id").alias("_x"))
+                )
+                .select(
+                    F.col("node_id").alias("a"),
+                    F.pmod(
+                        F.xxhash64(F.lit(int(random_seed) + 7), F.col("node_id"), F.col("_x"), F.lit(it)),
+                        F.lit(n),
+                    ).alias("pos"),
+                )
+                .join(idx, "pos")
+                .filter(F.col("orig") != F.col("a"))
+                .select("a", F.col("orig").alias("b"))
+            )
+            cand = cand.union(fresh)
+        cand = cand.distinct()
+        new = materialize_roundtrip(topk(cand), tag="knn", keep_last=2)
         changed = (
             new.select("a", "b")
             .join(cur.select("a", "b"), ["a", "b"], "left_anti")
             .count()
         )
         cur = new
-        if changed <= delta_threshold * n * k:
+        if it >= min_iterations and changed <= delta_threshold * n * k:
             converged = True
             break
 

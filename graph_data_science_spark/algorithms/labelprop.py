@@ -89,7 +89,16 @@ def label_propagation(
     edges = edges.repartition(spark.sparkContext.defaultParallelism, "dst").persist()
     edges.count()
 
-    loop = SuperstepLoop(spark, "labelprop", checkpoint_dir, lineage=edge_lineage(graph.edges))
+    loop = SuperstepLoop(
+        spark,
+        "labelprop",
+        checkpoint_dir,
+        lineage=edge_lineage(
+            graph.edges,
+            params={"algo": "labelprop", "seed_col": seed_col, "node_weight_col": node_weight_col},
+            content_sample=checkpoint_dir is not None,
+        ),
+    )
     labels = loop.commit(_initial_labels(graph, seed_col).select(F.col("node_id").alias("node"), "label"), 0, {})
 
     def wave(labels_df: DataFrame, parity: int) -> DataFrame:

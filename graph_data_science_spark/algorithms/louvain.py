@@ -36,7 +36,11 @@ from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from graph_data_science_spark.graph.build import LinkGraph
-from graph_data_science_spark.pregel.superstep import materialize_roundtrip
+from graph_data_science_spark.pregel.superstep import (
+    materialize_roundtrip,
+    roundtrip_mark,
+    roundtrip_release,
+)
 
 
 def _materialize(df: DataFrame, prev: DataFrame | None = None) -> DataFrame:
@@ -220,6 +224,7 @@ def louvain(
     mapping = graph.node_ids().select("node_id", F.col("node_id").alias("community"))
     modularities: list[float] = []
     levels = 0
+    _mark = roundtrip_mark()
     for _lvl in range(max_levels):
         assign, q = _one_level(edges, max_inner_iterations)
         n_before = assign.count()
@@ -247,6 +252,7 @@ def louvain(
             .agg(F.sum("weight").alias("weight"))
         )
         edges = new_edges
+    roundtrip_release(_mark, keep=[mapping])
     return LouvainResult(communities=mapping, modularities=modularities, ran_levels=levels)
 
 
@@ -258,15 +264,18 @@ def modularity_optimization(
     inner engine Louvain levels over, exposed standalone like the GDS
     procedure). One _one_level run, no coarsening."""
     edges = graph.edges.select("src", "dst", F.col("weight").cast("double").alias("weight"))
+    _mark = roundtrip_mark()
     assign, q = _one_level(edges, max_iterations)
     nodes = graph.node_ids()
-    mapping = (
+    mapping = materialize_roundtrip(
         nodes.join(assign, nodes["node_id"] == assign["node"], "left")
         .select(
             "node_id",
             F.coalesce(F.col("comm"), F.col("node_id")).alias("community"),
-        )
+        ),
+        tag="modopt_out",
     )
+    roundtrip_release(_mark, keep=[mapping])
     return LouvainResult(communities=mapping, modularities=[q], ran_levels=1)
 
 
@@ -316,6 +325,7 @@ def leiden(
     mapping = graph.node_ids().select("node_id", F.col("node_id").alias("community"))
     modularities: list[float] = []
     levels = 0
+    _mark = roundtrip_mark()
     for _lvl in range(max_levels):
         assign, _q = _one_level(edges, max_inner_iterations, gamma=gamma)
         refined = materialize_roundtrip(_refine_connectivity(edges, assign), tag="leiden")
@@ -351,4 +361,5 @@ def leiden(
             .agg(F.sum("weight").alias("weight")),
             tag="leiden_edges",
         )
+    roundtrip_release(_mark, keep=[mapping])
     return LouvainResult(communities=mapping, modularities=modularities, ran_levels=levels)

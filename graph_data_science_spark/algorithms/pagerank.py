@@ -107,8 +107,25 @@ def _rank_loop(
     # auto_free_prev=False: committed delta frames are retained in `pending`
     # until the next fold — _fold() frees them once summed.
     loop = SuperstepLoop(
-        spark, name, checkpoint_dir, lineage=edge_lineage(graph.edges), auto_free_prev=False
+        spark,
+        name,
+        checkpoint_dir,
+        lineage=edge_lineage(
+            graph.edges,
+            params={
+                "algo": name,
+                "damping": damping,
+                "tolerance": tolerance,
+                "source_nodes": source_nodes,
+            },
+            content_sample=checkpoint_dir is not None,
+        ),
+        auto_free_prev=False,
     )
+    # Pre-loop memory prediction (reference DefaultMemoryGuard analog):
+    # delta state is one (node, delta) row per active vertex, 16B data +
+    # row overhead.
+    loop.predict(node_count=n, state_row_bytes=32)
 
     # Delta-only superstep loop. The classical formulation keeps a full
     # (node, rank, delta) state and outer-joins messages into it every
@@ -343,7 +360,22 @@ def eigenvector(
     else:
         norm = graph.edges.select("src", "dst", F.lit(1.0).alias("norm_w"))
     prepped = prep_edges_sql(norm, num_partitions=num_blocks)
-    loop = SuperstepLoop(spark, "eigenvector", checkpoint_dir, lineage=edge_lineage(graph.edges))
+    loop = SuperstepLoop(
+        spark,
+        "eigenvector",
+        checkpoint_dir,
+        lineage=edge_lineage(
+            graph.edges,
+            params={
+                "algo": "eigenvector",
+                "tolerance": tolerance,
+                "weighted": weighted,
+                "source_nodes": source_nodes,
+            },
+            content_sample=checkpoint_dir is not None,
+        ),
+    )
+    loop.predict(node_count=n, state_row_bytes=40)  # (node, y, x_prev)
 
     nodes = graph.node_ids().select(F.col("node_id").alias("node"))
     if source_nodes:

@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Observation
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from graph_data_science_spark.graph.build import LinkGraph
@@ -72,7 +72,17 @@ def shortest_paths(
         e.select("src", "dst", F.col("weight").alias("norm_w")), num_partitions=num_blocks
     )
 
-    loop = SuperstepLoop(spark, "sssp", checkpoint_dir, lineage=edge_lineage(graph.edges))
+    loop = SuperstepLoop(
+        spark,
+        "sssp",
+        checkpoint_dir,
+        lineage=edge_lineage(
+            graph.edges,
+            params={"algo": "sssp", "source": source, "weighted": weighted},
+            content_sample=checkpoint_dir is not None,
+        ),
+    )
+    loop.predict(node_count=n, state_row_bytes=32)  # (node, dist)
     dist = spark.createDataFrame([(int(source), 0.0)], "node long, dist double")
     dist = loop.commit(dist, 0, {"frontier": 1})
     frontier = dist
@@ -116,6 +126,188 @@ def shortest_paths(
         did_converge=converged,
         negative_cycle=negative_cycle,
         loop=loop,
+    )
+
+
+@dataclass
+class DijkstraResult:
+    # (index long, source_node long, target_node long, total_cost double,
+    #  node_ids array<long>, costs array<double>) — the reference's
+    # PathFindingResult row shape.
+    paths: DataFrame
+    distances: DataFrame  # (node_id long, distance double, parent long)
+    ran_iterations: int
+    did_converge: bool
+
+
+def dijkstra(
+    graph: LinkGraph,
+    source: int,
+    targets: list[int] | None = None,
+    weighted: bool = True,
+    max_iterations: int | None = None,
+    num_blocks: int | None = None,
+) -> DijkstraResult:
+    """Weighted single-source shortest paths WITH path reconstruction
+    (reference ``algo/.../paths/dijkstra/Dijkstra.java:45``; result shape
+    ``PathFindingResult`` — index, sourceNode, targetNode, totalCost,
+    nodeIds, costs). ``targets=None`` streams every reachable node
+    (single-source mode); a target list restricts the output (source-target
+    mode). The source itself is emitted with totalCost 0 and path
+    ``[source]``.
+
+    Spark shape — two pure-Catalyst loops:
+
+    1. distance pass: the same frontier relaxation as ``shortest_paths``
+       with a parent column; the per-target min-reduce takes the
+       ``(cost, parent)`` STRUCT minimum, so ties break deterministically
+       to the smaller parent id (the reference's heap pops an arbitrary
+       equal-cost predecessor; a distributed engine needs the
+       deterministic choice);
+    2. backtracking pass: O(max path length) rounds, each one join of the
+       unfinished walks against the (node, parent, dist) map, prepending
+       the parent to the node/cost arrays. The cost array is the running
+       cumulative cost per hop, exactly the reference's ``costs()``.
+
+    Dijkstra's priority queue is a work-*ordering* optimization for shared
+    memory; bulk-synchronous relaxation does the same relaxations per
+    shuffle round and converges to the identical fixpoint on non-negative
+    weights (it also tolerates negative edges, Bellman-Ford style).
+    """
+    from graph_data_science_spark.pregel.superstep import (
+        materialize_roundtrip,
+        roundtrip_mark,
+        roundtrip_release,
+    )
+
+    spark = graph.edges.sparkSession
+    n = graph.with_node_count()
+    if max_iterations is None:
+        max_iterations = n + 1
+    e = graph.edges if weighted else graph.edges.select("src", "dst", F.lit(1.0).alias("weight"))
+    prepped = prep_edges_sql(
+        e.select("src", "dst", F.col("weight").alias("norm_w")), num_partitions=num_blocks
+    )
+    _mark = roundtrip_mark()
+
+    dist = spark.createDataFrame(
+        [(int(source), 0.0, None)], "node long, dist double, parent long"
+    )
+    dist = materialize_roundtrip(dist, tag="dij", keep_last=2)
+    frontier = dist
+    converged = False
+    it = 0
+    for it in range(1, max_iterations + 1):
+        cand = (
+            prepped.join(frontier, prepped["src"] == frontier["node"], "inner")
+            .groupBy("dst")
+            .agg(
+                F.min(
+                    F.struct(
+                        (F.col("dist") + F.col("norm_w")).alias("cand"),
+                        F.col("src").alias("parent"),
+                    )
+                ).alias("m")
+            )
+            .select("dst", F.col("m.cand").alias("cand"), F.col("m.parent").alias("cand_parent"))
+        )
+        obs = Observation()
+        merged = (
+            dist.join(cand, dist["node"] == cand["dst"], "full_outer")
+            .select(
+                F.coalesce(F.col("node"), F.col("dst")).alias("node"),
+                F.least(F.col("dist"), F.col("cand")).alias("ndist"),
+                (
+                    F.col("dist").isNull()
+                    | (F.col("cand").isNotNull() & (F.col("cand") < F.col("dist")))
+                ).alias("_improved"),
+                F.col("parent"),
+                F.col("cand_parent"),
+            )
+            .select(
+                "node",
+                F.col("ndist").alias("dist"),
+                F.when(F.col("_improved"), F.col("cand_parent"))
+                .otherwise(F.col("parent"))
+                .alias("parent"),
+                "_improved",
+            )
+            .observe(obs, F.sum(F.when(F.col("_improved"), 1).otherwise(0)).alias("improved"))
+        )
+        new_dist = materialize_roundtrip(merged, tag="dij", keep_last=2)
+        improved = int(obs.get.get("improved") or 0)
+        frontier = new_dist.filter(F.col("_improved")).select("node", "dist")
+        dist = new_dist.select("node", "dist", "parent")
+        if improved == 0:
+            converged = True
+            break
+    prepped.unpersist()
+
+    # ---- backtracking: prepend parents until every walk reaches source ----
+    # pm carries the PARENT's cumulative distance (pdist) — the value the
+    # costs array needs at the prepended position.
+    pm = dist.select(F.col("node").alias("pnode"), F.col("parent").alias("pparent")).join(
+        dist.select(F.col("node").alias("pparent"), F.col("dist").alias("pdist")),
+        "pparent",
+        "left",
+    )
+    reached = dist if targets is None else dist.filter(F.col("node").isin([int(t) for t in targets]))
+    walk = reached.select(
+        F.col("node").alias("target_node"),
+        F.col("dist").alias("total_cost"),
+        F.col("node").alias("cur"),
+        F.array(F.col("node")).alias("node_ids"),
+        F.array(F.col("dist")).alias("costs"),
+    )
+    walk = materialize_roundtrip(walk, tag="dij_walk", keep_last=2)
+    src_lit = F.lit(int(source))
+    for _ in range(max_iterations + 1):
+        obs = Observation()
+        pending = F.col("cur") != src_lit
+        stepped = (
+            walk.join(pm, walk["cur"] == pm["pnode"], "left")
+            .select(
+                "target_node",
+                "total_cost",
+                F.when(pending, F.col("pparent")).otherwise(F.col("cur")).alias("cur"),
+                F.when(pending, F.concat(F.array(F.col("pparent")), F.col("node_ids")))
+                .otherwise(F.col("node_ids"))
+                .alias("node_ids"),
+                F.when(pending, F.concat(F.array(F.col("pdist")), F.col("costs")))
+                .otherwise(F.col("costs"))
+                .alias("costs"),
+            )
+            .observe(
+                obs,
+                F.sum(F.when(F.col("cur") != src_lit, 1).otherwise(0)).alias("pending"),
+            )
+        )
+        walk = materialize_roundtrip(stepped, tag="dij_walk", keep_last=2)
+        if not int(obs.get.get("pending") or 0):
+            break
+
+    w = Window.orderBy(F.asc("total_cost"), F.asc("target_node"))
+    paths = materialize_roundtrip(
+        walk.select(
+            (F.row_number().over(w) - 1).cast("long").alias("index"),
+            F.lit(int(source)).alias("source_node"),
+            "target_node",
+            "total_cost",
+            "node_ids",
+            "costs",
+        ),
+        tag="dij_out",
+    )
+    dist_out = materialize_roundtrip(
+        dist.select(F.col("node").alias("node_id"), F.col("dist").alias("distance"), "parent"),
+        tag="dij_out",
+    )
+    roundtrip_release(_mark, keep=[paths, dist_out])
+    return DijkstraResult(
+        paths=paths,
+        distances=dist_out,
+        ran_iterations=it,
+        did_converge=converged,
     )
 
 

@@ -31,7 +31,12 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from graph_data_science_spark.graph.build import LinkGraph
-from graph_data_science_spark.pregel.superstep import free_checkpointed, materialize_roundtrip
+from graph_data_science_spark.pregel.superstep import (
+    free_checkpointed,
+    materialize_roundtrip,
+    roundtrip_mark,
+    roundtrip_release,
+)
 
 
 @dataclass
@@ -50,6 +55,7 @@ def _ckpt(df: DataFrame) -> DataFrame:
 
 def scc(graph: LinkGraph, max_outer_rounds: int = 1000) -> SccResult:
     spark = graph.edges.sparkSession
+    _mark = roundtrip_mark()
     live_edges = _ckpt(
         graph.edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
     )
@@ -156,4 +162,6 @@ def scc(graph: LinkGraph, max_outer_rounds: int = 1000) -> SccResult:
         components = assigned[0]
         for part in assigned[1:]:
             components = components.union(part)
+        components = materialize_roundtrip(components, tag="scc_out")
+    roundtrip_release(_mark, keep=[components])
     return SccResult(components=components, outer_rounds=rounds)

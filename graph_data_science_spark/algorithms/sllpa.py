@@ -15,8 +15,12 @@ Reference semantics:
   (:74-141). propagationSteps = maxIterations − 1.
 
 Spark re-expression: the per-edge random draw becomes
-``xxhash64(seed, src, dst, step) mod (step+1)`` — the same uniform choice,
+``hash(seed, src, dst, step) mod (step+1)`` — the same uniform choice,
 but reproducible under any partitioning (GDS itself is seedable for tests).
+``rng="xxhash"`` (default) uses the JVM xxhash64; ``rng="portable"`` uses
+an md5-derived hash that replays bit-identically in ANSI SQL, so the whole
+multi-step run (including every random draw) is oracle-checkable against
+DuckDB — the same trick as walks.py's portable mode.
 Memory is an array column extended by one slot per superstep; the listen
 step is one join + count aggregate + top-1 window; the speak draw is a pure
 column expression over the edge table. State is round-tripped per superstep
@@ -45,6 +49,7 @@ def speaker_listener_lpa(
     max_iterations: int = 10,
     min_association_strength: float = 0.2,
     random_seed: int = 42,
+    rng: str = "xxhash",
 ) -> SllpaResult:
     spark = graph.edges.sparkSession
     edges = graph.edges.select("src", "dst").persist()
@@ -55,19 +60,24 @@ def speaker_listener_lpa(
     # pre-fills every slot with the node id, so a slot that receives no
     # messages keeps the node's own vote — replicated via coalesce below.
     state = materialize_roundtrip(
-        nodes.select("node", F.array(F.col("node")).alias("labels")), tag="sllpa"
+        nodes.select("node", F.array(F.col("node")).alias("labels")), tag="sllpa", keep_last=2
     )
 
     propagation_steps = max_iterations - 1
     for step in range(1, propagation_steps + 1):
         # speak: each edge (u→v) carries a uniform slot of u's memory.
-        pick = (
-            F.pmod(
-                F.xxhash64(F.lit(int(random_seed)), F.col("src"), F.col("dst"), F.lit(step)),
-                F.size(F.col("labels")),
+        if rng == "portable":
+            payload = F.concat_ws(
+                ":",
+                F.lit(str(int(random_seed))),
+                F.col("src").cast("string"),
+                F.col("dst").cast("string"),
+                F.lit(str(step)),
             )
-            + 1
-        ).cast("int")
+            draw = F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("long")
+        else:
+            draw = F.xxhash64(F.lit(int(random_seed)), F.col("src"), F.col("dst"), F.lit(step))
+        pick = (F.pmod(draw, F.size(F.col("labels"))) + 1).cast("int")
         sent = (
             edges.join(state.withColumnRenamed("node", "src"), "src")
             .select(F.col("dst"), F.element_at(F.col("labels"), pick).alias("lbl"))
@@ -88,6 +98,7 @@ def speaker_listener_lpa(
                 ).alias("labels"),
             ),
             tag="sllpa",
+            keep_last=2,
         )
 
     # prune: labels with relative frequency > threshold form the node's

@@ -62,7 +62,16 @@ def wcc(
     sym = sym.repartition(spark.sparkContext.defaultParallelism, "src").persist()
     sym.count()
 
-    loop = SuperstepLoop(spark, "wcc", checkpoint_dir, lineage=edge_lineage(graph.edges))
+    loop = SuperstepLoop(
+        spark,
+        "wcc",
+        checkpoint_dir,
+        lineage=edge_lineage(
+            graph.edges,
+            params={"algo": "wcc", "threshold": threshold, "seeded": seeds is not None},
+            content_sample=checkpoint_dir is not None,
+        ),
+    )
     resumed = loop.resume()
     if resumed is not None:
         labels, start = resumed[0], resumed[1] + 1

@@ -87,13 +87,14 @@ def lsh_cosine_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: brute force restricted to same-bucket collisions.
 
     Recall < 1 by design; callers wanting guarantees use multi-probe or the
     exact path. Returns (query_id, neighbor_id, rank, sim).
     """
-    dim = len(corpus.select(vec_col).first()[0])
+    dim = _dim_of(corpus, vec_col, dim)
     cb = hyperplane_buckets(corpus, dim, n_planes, seed, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "bucket"
     )
@@ -118,13 +119,14 @@ def embedding_near_dup_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, sim ≥ threshold) via
     hyperplane-LSH bucketing: candidate pairs collide in the signature
     bucket (near-identical directions almost always share every sign bit),
     verified with the exact cosine. Never all-pairs — the 100 TB shape for
     corpus-level near-dup removal over an embedding column."""
-    b = hyperplane_buckets(corpus, _dim_of(corpus, vec_col), n_planes, seed, id_col, vec_col)
+    b = hyperplane_buckets(corpus, _dim_of(corpus, vec_col, dim), n_planes, seed, id_col, vec_col)
     la = b.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket")
     lb = b.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "bucket")
     pairs = la.join(lb, "bucket").filter(F.col("a") < F.col("b"))
@@ -132,8 +134,20 @@ def embedding_near_dup_pairs(
     return pairs.select("a", "b", sim).filter(F.col("sim") >= threshold)
 
 
-def _dim_of(df: DataFrame, vec_col: str) -> int:
-    return len(df.select(vec_col).first()[0])
+def _dim_of(df: DataFrame, vec_col: str, dim: int | None = None) -> int:
+    """Embedding dimensionality. Spark array columns don't carry a length in
+    the schema, so when the caller doesn't pass ``dim`` this falls back to
+    reading one row — an extra job, and impossible on an empty corpus. Pass
+    ``dim`` explicitly in pipelines (it is a property of the embedding
+    model, known statically)."""
+    if dim is not None:
+        return int(dim)
+    head = df.select(vec_col).head(1)
+    if not head or head[0][0] is None:
+        raise ValueError(
+            f"cannot infer embedding dimension from an empty corpus; pass dim= explicitly"
+        )
+    return len(head[0][0])
 
 
 def ivf_topk(

@@ -26,11 +26,14 @@ lineage truncation, no durability — for tests and tight benchmark loops.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
 
 METRICS_SCHEMA = (
     "algo string, superstep int, partition int, rows long, wall_ms double, "
@@ -46,10 +49,21 @@ def free_checkpointed(df: DataFrame) -> None:
     CacheManager, so the DataFrame-level call frees nothing and an in-memory
     superstep loop accumulates executor storage unboundedly. The LogicalRDD
     plan node exposes the underlying RDD; unpersist that directly.
+
+    The fast path relies on the analyzed plan being a LogicalRDD — private
+    internals that can change shape across Spark versions. The fallback is
+    the (ineffective) DataFrame-level unpersist; it logs so a storage-leak
+    regression is observable rather than silent.
     """
     try:
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:
+    except Exception as exc:
+        logger.debug(
+            "free_checkpointed: RDD-level unpersist unavailable (%s); "
+            "falling back to DataFrame.unpersist(), which is a no-op for "
+            "localCheckpoint-ed frames — executor storage may accumulate",
+            exc,
+        )
         try:
             df.unpersist()
         except Exception:
@@ -82,6 +96,59 @@ class SuperstepLoop:
         self.auto_free_prev = auto_free_prev
         self._prev_cached: DataFrame | None = None
         self.memory_metrics: list[dict] = []
+        self._prediction: dict | None = None
+
+    # -- memory estimation (reference DefaultMemoryGuard analog) ---------
+    def predict(
+        self,
+        node_count: int | None = None,
+        edge_count: int | None = None,
+        state_row_bytes: int = 32,
+        message_row_bytes: int = 24,
+    ) -> dict:
+        """Predict per-superstep state/shuffle sizes BEFORE the loop runs and
+        fold the prediction into every metrics row — the durable analog of
+        GDS's memory estimation + guard
+        (``memory-estimation/``, ``applications/.../DefaultMemoryGuard.java``:
+        GDS *aborts* when estimate > free heap because it cannot spill; a
+        shuffle engine spills, so this guard WARNS and records instead).
+
+        state ≈ node_count · state_row_bytes (the vertex-state frame);
+        shuffle ≈ edge_count · message_row_bytes (worst-case message volume
+        when every vertex is active — delta-push loops usually send far
+        less, so this is an upper bound, like the reference's estimates).
+        """
+        pred: dict = {}
+        if node_count is not None:
+            pred["predicted_state_mb"] = round(node_count * state_row_bytes / 1e6, 2)
+        if edge_count is not None:
+            pred["predicted_shuffle_mb"] = round(edge_count * message_row_bytes / 1e6, 2)
+        avail = self._available_memory_mb()
+        if avail is not None:
+            pred["executor_memory_mb"] = round(avail, 0)
+            peak = pred.get("predicted_state_mb", 0.0) + pred.get("predicted_shuffle_mb", 0.0)
+            if peak > avail:
+                logger.warning(
+                    "%s: predicted superstep peak %.0f MB exceeds executor "
+                    "memory %.0f MB — expect shuffle/agg spill (sizes: %s)",
+                    self.name, peak, avail, pred,
+                )
+                pred["predicted_spill"] = True
+        self._prediction = pred
+        return pred
+
+    def _available_memory_mb(self) -> float | None:
+        """Executor storage+execution memory from the session conf
+        (heap × spark.memory.fraction); None if unparsable."""
+        try:
+            raw = self.spark.conf.get("spark.driver.memory", "1g")
+            units = {"k": 1e-3, "m": 1.0, "g": 1e3, "t": 1e6}
+            mult = units.get(raw[-1].lower())
+            heap_mb = float(raw[:-1]) * mult if mult else float(raw) / 1e6
+            frac = float(self.spark.conf.get("spark.memory.fraction", "0.6"))
+            return heap_mb * frac
+        except Exception:
+            return None
 
     # -- paths -----------------------------------------------------------
     def _state_path(self, superstep: int) -> str:
@@ -167,6 +234,8 @@ class SuperstepLoop:
             merged = dict(counters or {})
             merged.update({k: v for k, v in observation.get.items()})
             counters = merged
+        if self._prediction:
+            counters = {**self._prediction, **(counters or {})}
 
         # Per-partition lineage/metrics rows are the durable observability
         # contract; in memory mode we skip the extra scan and record one row.
@@ -219,9 +288,45 @@ class SuperstepLoop:
 
 _ROUNDTRIP_BASE: str | None = None
 _ROUNDTRIP_SEQ = 0
+# seq -> (tag, path) of every live round-trip file, in creation order.
+_ROUNDTRIP_ENTRIES: dict[int, tuple[str, str]] = {}
 
 
-def materialize_roundtrip(df: DataFrame, tag: str = "state") -> DataFrame:
+def _roundtrip_atexit() -> None:
+    import shutil
+
+    if _ROUNDTRIP_BASE is not None:
+        shutil.rmtree(_ROUNDTRIP_BASE, ignore_errors=True)
+
+
+def _free_roundtrip_entry(seq: int) -> None:
+    import shutil
+
+    entry = _ROUNDTRIP_ENTRIES.pop(seq, None)
+    if entry is not None:
+        shutil.rmtree(entry[1], ignore_errors=True)
+
+
+def roundtrip_mark() -> int:
+    """Watermark for :func:`roundtrip_release` — call before a loop that
+    creates round-trip files, release after the final result no longer
+    references the intermediates."""
+    return _ROUNDTRIP_SEQ
+
+
+def roundtrip_release(mark: int, keep: tuple | list = ()) -> None:
+    """Delete every round-trip file created after ``mark`` except those
+    backing the frames in ``keep`` (which must themselves be round-trip
+    outputs). Callers materialize their FINAL result first, then release —
+    intermediates (per-level frontiers, per-round states) are reclaimed
+    eagerly instead of accumulating in /dev/shm until process exit."""
+    keep_paths = {getattr(d, "_roundtrip_path", None) for d in keep}
+    for seq in [s for s in _ROUNDTRIP_ENTRIES if s > mark]:
+        if _ROUNDTRIP_ENTRIES[seq][1] not in keep_paths:
+            _free_roundtrip_entry(seq)
+
+
+def materialize_roundtrip(df: DataFrame, tag: str = "state", keep_last: int | None = None) -> DataFrame:
     """Materialize a loop-state frame via a parquet round-trip.
 
     Why not localCheckpoint or persist? Loops whose per-round plan
@@ -243,25 +348,74 @@ def materialize_roundtrip(df: DataFrame, tag: str = "state") -> DataFrame:
     A parquet write + read is the one primitive that truncates lineage AND
     yields a fresh relation with real file statistics. Files go to a
     session temp dir (tmpfs when available — the same device the shuffle
-    already uses) and are left for process exit; durable-loop callers use
-    SuperstepLoop's checkpoint_dir instead, which has the same effect.
+    already uses). Lifecycle: the whole dir is removed at process exit
+    (atexit); ``keep_last=N`` additionally reclaims this *tag*'s files
+    beyond the N most recent as soon as the new one is written — the right
+    setting for rolling loop state whose previous frame is dead once its
+    successor is materialized (long loops over large state would otherwise
+    exhaust /dev/shm). Frames with longer lifetimes (per-level frontiers
+    consumed by a later sweep) use mark/release instead
+    (:func:`roundtrip_mark` / :func:`roundtrip_release`). Durable-loop
+    callers use SuperstepLoop's checkpoint_dir, which has the same effect.
     """
     global _ROUNDTRIP_BASE, _ROUNDTRIP_SEQ
     if _ROUNDTRIP_BASE is None:
+        import atexit
         import tempfile
 
         parent = "/dev/shm" if os.path.isdir("/dev/shm") else None
         _ROUNDTRIP_BASE = tempfile.mkdtemp(prefix="spark_graft_rt_", dir=parent)
+        atexit.register(_roundtrip_atexit)
     _ROUNDTRIP_SEQ += 1
     path = os.path.join(_ROUNDTRIP_BASE, f"{tag}_{_ROUNDTRIP_SEQ:06d}")
     df.write.mode("overwrite").parquet(path)
-    return df.sparkSession.read.parquet(path)
+    _ROUNDTRIP_ENTRIES[_ROUNDTRIP_SEQ] = (tag, path)
+    if keep_last is not None:
+        same_tag = [s for s, (t, _) in _ROUNDTRIP_ENTRIES.items() if t == tag]
+        for seq in sorted(same_tag)[:-keep_last]:
+            _free_roundtrip_entry(seq)
+    out = df.sparkSession.read.parquet(path)
+    out._roundtrip_path = path
+    return out
 
 
-def edge_lineage(edges: DataFrame) -> str:
-    """Cheap stable fingerprint of the input edge table for lineage rows."""
+def edge_lineage(
+    edges: DataFrame, params: dict | None = None, content_sample: bool = False
+) -> str:
+    """Stable fingerprint of the input edge table for lineage rows.
+
+    File-backed inputs fingerprint by file list; ``params`` folds the
+    algorithm's configuration into the string so a checkpoint taken with
+    different parameters over the same files is rejected on resume.
+    ``content_sample=True`` (durable-checkpoint callers) additionally hashes
+    the edge content for inline/derived frames — otherwise any in-memory
+    frame reads as the constant ``"inline"`` and a stale checkpoint from a
+    *different* inline graph would be silently adopted. The content hash is
+    one full-scan aggregate; callers only request it when a checkpoint_dir
+    is actually in play (durable mode already writes parquet per superstep,
+    so one extra scan is noise there).
+    """
     try:
         files = edges.inputFiles()
-        return json.dumps(sorted(files)[:64])
     except Exception:
-        return "inline"
+        files = []
+    if files:
+        base = json.dumps(sorted(files)[:64])
+    elif content_sample:
+        try:
+            # bit_xor, not sum: order-insensitive AND overflow-free under
+            # ANSI mode (summing ±2^63 hashes overflows long).
+            row = edges.select(
+                F.bit_xor(F.xxhash64(*edges.columns)).alias("h"),
+                F.count(F.lit(1)).alias("c"),
+            ).first()
+            base = f"inline:h={row['h']},c={row['c']}"
+        except Exception:
+            base = "inline"
+    else:
+        base = "inline"
+    if params:
+        base += "|params:" + json.dumps(
+            {k: repr(v) for k, v in params.items()}, sort_keys=True
+        )
+    return base

@@ -710,12 +710,18 @@ def _merge_ext() -> None:
     """Fold in the round-2 registries (queries_ext, queries_ext2) — kept in
     their own modules so each file stays reviewable; imported lazily to
     avoid a cycle."""
-    from graph_data_science_spark import queries_ext, queries_ext2, queries_ext3
+    from graph_data_science_spark import (
+        queries_ext,
+        queries_ext2,
+        queries_ext3,
+        queries_ext4,
+    )
 
     for mod, qname, oname in (
         (queries_ext, "QUERIES_EXT", "ORACLES_EXT"),
         (queries_ext2, "QUERIES_EXT2", "ORACLES_EXT2"),
         (queries_ext3, "QUERIES_EXT3", "ORACLES_EXT3"),
+        (queries_ext4, "QUERIES_EXT4", "ORACLES_EXT4"),
     ):
         # When an ext module is imported FIRST (tools/tests), it imports this
         # module, whose end-of-module merge then sees the ext module only

@@ -19,6 +19,7 @@ from graph_data_science_spark.graph.build import LinkGraph
 from graph_data_science_spark.graph.subgraph import subgraph_filter
 from graph_data_science_spark.queries import (
     COPART_EDGES_SQL,
+    Q_ANN_SQL as Q_ANN_ORACLE_SQL,
     CUSTPART_EDGES_SQL,
     _copart_graph,
     _custpart_graph,
@@ -212,13 +213,17 @@ Q_MODOPT_SQL = """
 
 
 # --------------------------------------------------------------------------
-# IVF ANN: rows-only (cells derive from float k-means centroids)
+# IVF ANN, exhaustive probing: with n_probe == n_clusters every cell is
+# searched, so the result MUST bit-match the brute-force oracle — this
+# gates the whole cell-assignment + probe plumbing (a lost or duplicated
+# vector anywhere shows up immediately). Partial-probe recall is asserted
+# separately in tests.
 # --------------------------------------------------------------------------
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
-    return ivf_topk(emb, queries, k=5, n_clusters=8, n_probe=3, seed=11).select(
+    return ivf_topk(emb, queries, k=5, n_clusters=8, n_probe=8, seed=11).select(
         "query_id", "neighbor_id", "rank", _e(F.col("sim"), 4).alias("sim_e4")
     )
 
@@ -240,8 +245,9 @@ ORACLES_EXT3 = {
     "filtered_node_similarity": Q_FILTERED_NODESIM_SQL,
     "embedding_near_dup": Q_EMBEDDING_NEAR_DUP_SQL,
     "modularity_opt_nation_cliques": Q_MODOPT_SQL,
-    # ivf_cosine_topk: intentionally no oracle — cell boundaries depend on
-    # float k-means centroids; recall vs the exact path is asserted in tests.
+    # ivf_cosine_topk probes every cell (n_probe == n_clusters), so the
+    # exact-ANN oracle applies verbatim (same query set, same k).
+    "ivf_cosine_topk": Q_ANN_ORACLE_SQL,
 }
 
 

@@ -118,11 +118,13 @@ def run_incremental_pagerank(
     max_iterations: int = 50,
 ):
     """foreachBatch maintenance loop: append each micro-batch's transcript
-    rows to the parquet store, then refresh PageRank on the full snapshot
-    (checkpointed superstep loop — the durable-commit machinery is shared
-    with the batch engine). Returns the StreamingQuery; callers trigger
-    with availableNow for catch-up runs or processingTime for continuous
-    refresh."""
+    rows to the parquet store, then recompute PageRank on the full snapshot.
+    Each refresh is a from-scratch run — a superstep checkpoint taken over
+    one snapshot is NOT resumable against a grown snapshot (the lineage
+    guard would reject it, by design), so the incremental-refresh knob here
+    is the *trigger cadence*, not warm-starting the iteration. Returns the
+    StreamingQuery; callers trigger with availableNow for catch-up runs or
+    processingTime for continuous refresh."""
     from graph_data_science_spark.algorithms.pagerank import pagerank
     from graph_data_science_spark.transcripts import derive_link_graph
 
