@@ -255,19 +255,29 @@ def main() -> None:
     # Scaling evidence: the identical constant-work job at N and 4N cores
     # (separate processes — the py4j gateway JVM would otherwise carry JIT
     # warmth from one run into the next and bias the comparison).
+    # Each level runs TWICE and keeps the faster run: the sandbox VM sees
+    # host-level interference bursts (identical back-to-back runs measured
+    # 2-3x apart with zero local load — see BENCH r3 notes), and min-of-N
+    # is the standard noise-floor protocol for throughput benchmarks. Both
+    # medians are recorded so the spread is visible in the artifact.
     scale_results = {}
+    scale_attempts: dict[int, list] = {}
     for n in (2, 8, 32):
-        out = os.path.join(work, f"scaling_{n}.json")
-        env = dict(os.environ)
-        env.pop("SPARK_GRAFT_MASTER", None)
-        subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--scaling-run", str(n), str(SCALING_N_CONV), out],
-            check=True,
-            env=env,
-            cwd=REPO,
-            capture_output=True,
-        )
-        scale_results[n] = json.load(open(out))
+        attempts = []
+        for attempt in range(2):
+            out = os.path.join(work, f"scaling_{n}_{attempt}.json")
+            env = dict(os.environ)
+            env.pop("SPARK_GRAFT_MASTER", None)
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--scaling-run", str(n), str(SCALING_N_CONV), out],
+                check=True,
+                env=env,
+                cwd=REPO,
+                capture_output=True,
+            )
+            attempts.append(json.load(open(out)))
+        scale_attempts[n] = [round(a["median_superstep_sec"], 3) for a in attempts]
+        scale_results[n] = min(attempts, key=lambda a: a["median_superstep_sec"])
     thr = {n: scale_results[n]["throughput_edges_per_sec_per_superstep"] for n in scale_results}
     efficiency_2_8 = thr[8] / (4 * thr[2])
     efficiency_8_32 = thr[32] / (4 * thr[8])
@@ -294,7 +304,11 @@ def main() -> None:
                 },
                 "loadavg": {"start": load_start, "end": _loadavg()},
                 "scaling": {
-                    "protocol": "constant-work cycle graph, 3 warmup + 4 measured supersteps, median",
+                    "protocol": (
+                        "constant-work cycle graph, 3 warmup + 4 measured "
+                        "supersteps, median; min-of-2 runs per level"
+                    ),
+                    "attempt_medians_sec": {str(n): scale_attempts[n] for n in scale_attempts},
                     "edges": scale_results[8]["edges"],
                     "median_superstep_sec": {
                         str(n): round(scale_results[n]["median_superstep_sec"], 3) for n in scale_results

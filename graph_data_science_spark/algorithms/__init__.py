@@ -13,15 +13,26 @@ from graph_data_science_spark.algorithms.kmeans import kmeans
 from graph_data_science_spark.algorithms.knn import knn
 from graph_data_science_spark.algorithms.labelprop import label_propagation
 from graph_data_science_spark.algorithms.louvain import leiden, louvain, modularity_optimization
+from graph_data_science_spark.algorithms.celf import celf
+from graph_data_science_spark.algorithms.graphsage import graphsage, identity_weights
+from graph_data_science_spark.algorithms.maxkcut import approx_max_k_cut
 from graph_data_science_spark.algorithms.misc import conductance, k_core, modularity, topological_sort
+from graph_data_science_spark.algorithms.traverse import dfs
 from graph_data_science_spark.algorithms.pagerank import article_rank, eigenvector, pagerank
 from graph_data_science_spark.algorithms.hashgnn import hashgnn
 from graph_data_science_spark.algorithms.node2vec import node2vec
-from graph_data_science_spark.algorithms.paths import bfs_levels, dijkstra, shortest_paths
+from graph_data_science_spark.algorithms.paths import astar, bfs_levels, dijkstra, shortest_paths
+from graph_data_science_spark.algorithms.yens import yens
 from graph_data_science_spark.algorithms.scaling import scale_properties
 from graph_data_science_spark.algorithms.scc import scc
 from graph_data_science_spark.algorithms.similarity import filtered_node_similarity, node_similarity
 from graph_data_science_spark.algorithms.sllpa import speaker_listener_lpa
+from graph_data_science_spark.algorithms.spanning import (
+    k_spanning_tree,
+    minimum_spanning_forest,
+    spanning_tree,
+    steiner_tree_approx,
+)
 from graph_data_science_spark.algorithms.triangles import (
     local_clustering_coefficient,
     triangle_count,
@@ -31,7 +42,14 @@ from graph_data_science_spark.algorithms.walks import collapse_path, random_walk
 from graph_data_science_spark.algorithms.wcc import wcc
 
 __all__ = [
+    "approx_max_k_cut",
+    "celf",
+    "graphsage",
+    "identity_weights",
     "article_rank",
+    "astar",
+    "dfs",
+    "yens",
     "betweenness",
     "bfs_levels",
     "dijkstra",
@@ -49,6 +67,10 @@ __all__ = [
     "indirect_exposure",
     "k1coloring",
     "k_core",
+    "k_spanning_tree",
+    "minimum_spanning_forest",
+    "spanning_tree",
+    "steiner_tree_approx",
     "kmeans",
     "knn",
     "label_propagation",

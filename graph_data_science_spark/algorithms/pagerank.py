@@ -26,6 +26,8 @@ global L2 normalization (the masterCompute analog is a driver-side agg).
 
 from __future__ import annotations
 
+import os
+
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Observation
@@ -136,8 +138,13 @@ def _rank_loop(
     # active set — and ranks are a single fold at the end. Deltas are folded
     # into a running partial sum every ``fold_every`` supersteps so retained
     # state stays bounded. Measured 3× faster per superstep at 15M edges.
+    # fold_every=4 (was 8): at 10-20M active rows the retained
+    # localCheckpoint frames start evicting/competing with shuffle memory
+    # around 5 pending frames — per-superstep walls climbed 2-3× by
+    # superstep 6-8 with fold_every=8 and stay flat at 4 (A/B, 10M-edge
+    # cycle graph, local[8]; see BENCH r3 notes).
     alpha = 1.0 - damping
-    fold_every = 8
+    fold_every = int(os.environ.get("SPARK_GRAFT_FOLD_EVERY", "4"))
     spark_ = spark
 
     def _fold(running: DataFrame | None, frames: list[DataFrame]) -> DataFrame:

@@ -147,6 +147,7 @@ def dijkstra(
     weighted: bool = True,
     max_iterations: int | None = None,
     num_blocks: int | None = None,
+    heuristic: DataFrame | None = None,
 ) -> DijkstraResult:
     """Weighted single-source shortest paths WITH path reconstruction
     (reference ``algo/.../paths/dijkstra/Dijkstra.java:45``; result shape
@@ -173,6 +174,17 @@ def dijkstra(
     memory; bulk-synchronous relaxation does the same relaxations per
     shuffle round and converges to the identical fixpoint on non-negative
     weights (it also tolerates negative edges, Bellman-Ford style).
+
+    ``heuristic``: optional (node_id, h double) frame of an ADMISSIBLE
+    lower bound on the remaining cost to the (single) target — the A*
+    hook (reference ``Dijkstra.java`` ``Optional<HeuristicFunction>``,
+    used by ``AStar.java:37``). Requires ``targets == [t]``. Each round
+    the frontier drops nodes with ``dist + h > best known target dist``
+    (observed in the commit job, no extra action); admissibility
+    guarantees no optimal-path relaxation is ever pruned, so the target
+    row is exact. With pruning active, the ``distances`` frame for
+    NON-target nodes is search-internal (correct upper bounds, possibly
+    unsettled) — only the target's path row is a result.
     """
     from graph_data_science_spark.pregel.superstep import (
         materialize_roundtrip,
@@ -189,6 +201,17 @@ def dijkstra(
         e.select("src", "dst", F.col("weight").alias("norm_w")), num_partitions=num_blocks
     )
     _mark = roundtrip_mark()
+
+    prune_target: int | None = None
+    hdf = None
+    if heuristic is not None:
+        if not targets or len(targets) != 1:
+            raise ValueError("heuristic pruning requires exactly one target (A* is source-target)")
+        prune_target = int(targets[0])
+        hdf = heuristic.select(
+            F.col("node_id").alias("node"), F.col("h").cast("double").alias("h")
+        )
+    ub = float("inf")
 
     dist = spark.createDataFrame(
         [(int(source), 0.0, None)], "node long, dist double, parent long"
@@ -232,11 +255,29 @@ def dijkstra(
                 .alias("parent"),
                 "_improved",
             )
-            .observe(obs, F.sum(F.when(F.col("_improved"), 1).otherwise(0)).alias("improved"))
+            .observe(
+                obs,
+                F.sum(F.when(F.col("_improved"), 1).otherwise(0)).alias("improved"),
+                F.min(
+                    F.when(F.col("node") == F.lit(prune_target), F.col("dist"))
+                    if prune_target is not None
+                    else F.lit(None).cast("double")
+                ).alias("target_dist"),
+            )
         )
         new_dist = materialize_roundtrip(merged, tag="dij", keep_last=2)
         improved = int(obs.get.get("improved") or 0)
         frontier = new_dist.filter(F.col("_improved")).select("node", "dist")
+        if hdf is not None:
+            td = obs.get.get("target_dist")
+            if td is not None:
+                ub = min(ub, float(td))
+            if ub != float("inf"):
+                frontier = (
+                    frontier.join(hdf, "node", "left")
+                    .filter(F.col("dist") + F.coalesce(F.col("h"), F.lit(0.0)) <= F.lit(ub))
+                    .select("node", "dist")
+                )
         dist = new_dist.select("node", "dist", "parent")
         if improved == 0:
             converged = True
@@ -328,3 +369,59 @@ def bfs_levels(
         checkpoint_dir=checkpoint_dir,
     )
     return res.distances.select("node_id", F.col("distance").cast("long").alias("level"))
+
+
+EARTH_RADIUS_NM = 6371 * 0.539957  # reference AStar.java: EARTH_RADIUS_IN_NM
+
+
+def haversine_nm(lat1, lon1, lat2, lon2):
+    """Great-circle distance in nautical miles as a Column expression —
+    bit-for-bit the reference's ``AStar.HaversineHeuristic.distance``
+    (rosettacode haversine over EARTH_RADIUS_IN_NM = 6371 km · 0.539957)."""
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    a = (
+        F.pow(F.sin(dlat / 2), 2)
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.pow(F.sin(dlon / 2), 2)
+    )
+    return F.lit(2.0 * EARTH_RADIUS_NM) * F.asin(F.sqrt(a))
+
+
+def astar(
+    graph: LinkGraph,
+    source: int,
+    target: int,
+    coords: DataFrame,
+    weighted: bool = True,
+    max_iterations: int | None = None,
+) -> DijkstraResult:
+    """A* source-target shortest path (reference ``paths/astar/AStar.java:37``):
+    Dijkstra with the haversine heuristic over node ``coords``
+    (node_id, latitude, longitude). The heuristic is admissible when edge
+    weights are great-circle nautical-mile distances (the reference's
+    documented contract); the result equals Dijkstra's (A* is exact), the
+    heuristic only prunes the frontier. On Spark the priority-queue
+    ordering aspect of A* has no analog (rounds are bulk-synchronous);
+    what survives — and what pays at scale — is the bound-based frontier
+    pruning, applied here against the best target distance observed so
+    far. The returned ``paths`` frame contains the single target row;
+    ``distances`` is the pruned search state (see ``dijkstra``)."""
+    trow = coords.filter(F.col("node_id") == int(target)).select("latitude", "longitude").collect()
+    if not trow:
+        raise ValueError(f"target {target} has no coordinates")
+    tlat, tlon = float(trow[0]["latitude"]), float(trow[0]["longitude"])
+    heuristic = coords.select(
+        "node_id",
+        haversine_nm(
+            F.col("latitude"), F.col("longitude"), F.lit(tlat), F.lit(tlon)
+        ).alias("h"),
+    )
+    res = dijkstra(
+        graph,
+        source,
+        targets=[int(target)],
+        weighted=weighted,
+        max_iterations=max_iterations,
+        heuristic=heuristic,
+    )
+    return res

@@ -1,0 +1,16 @@
+from graph_data_science_spark.ml.logreg import LogisticRegressionModel, train_logistic_regression
+from graph_data_science_spark.ml.pipelines import (
+    LinkPredictionResult,
+    NodeClassificationResult,
+    link_prediction_pipeline,
+    node_classification_pipeline,
+)
+
+__all__ = [
+    "LinkPredictionResult",
+    "LogisticRegressionModel",
+    "NodeClassificationResult",
+    "link_prediction_pipeline",
+    "node_classification_pipeline",
+    "train_logistic_regression",
+]

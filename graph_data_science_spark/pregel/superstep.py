@@ -224,6 +224,13 @@ class SuperstepLoop:
             path = self._state_path(superstep)
             state.write.mode("overwrite").parquet(path)
             out = self.spark.read.parquet(path)
+        elif os.environ.get("SPARK_GRAFT_COMMIT_MODE", "local") == "roundtrip":
+            # Parquet round-trip on tmpfs instead of a heap-cached
+            # localCheckpoint: committed states live compressed in the page
+            # cache, not as deserialized rows in executor storage memory —
+            # long loops stop degrading from storage-eviction/GC pressure
+            # (the late-superstep slowdown measured in BENCH r3 scaling).
+            out = materialize_roundtrip(state, tag=f"commit_{self.name}", keep_last=None)
         else:
             out = state.localCheckpoint(eager=True)
             if self.auto_free_prev and self._prev_cached is not None:

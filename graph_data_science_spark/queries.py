@@ -715,6 +715,8 @@ def _merge_ext() -> None:
         queries_ext2,
         queries_ext3,
         queries_ext4,
+        queries_ext5,
+        queries_ext6,
     )
 
     for mod, qname, oname in (
@@ -722,6 +724,8 @@ def _merge_ext() -> None:
         (queries_ext2, "QUERIES_EXT2", "ORACLES_EXT2"),
         (queries_ext3, "QUERIES_EXT3", "ORACLES_EXT3"),
         (queries_ext4, "QUERIES_EXT4", "ORACLES_EXT4"),
+        (queries_ext5, "QUERIES_EXT5", "ORACLES_EXT5"),
+        (queries_ext6, "QUERIES_EXT6", "ORACLES_EXT6"),
     ):
         # When an ext module is imported FIRST (tools/tests), it imports this
         # module, whose end-of-module merge then sees the ext module only

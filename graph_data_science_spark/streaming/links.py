@@ -12,12 +12,13 @@ the way a 10^12-turn deployment must:
   Structured Streaming operators;
 - **analytics (the batch engine)**: iterative algorithms run on graph
   snapshots via ``foreachBatch`` — every micro-batch appends new edges to
-  the edge store and optionally refreshes PageRank from the superstep
-  checkpoint (resume + delta-push means an unchanged graph costs one
-  no-op superstep). Iterative fixpoints are NOT expressible as a single
-  streaming query (they need unbounded iteration over global state), so
-  the snapshot-refresh pattern is the honest scale design, not a
-  limitation of this engine.
+  the edge store and recomputes PageRank on the grown snapshot from
+  scratch (a superstep checkpoint taken over one snapshot is not
+  resumable against a different snapshot — the lineage guard rejects it
+  by design; the incremental knob is the trigger cadence). Iterative
+  fixpoints are NOT expressible as a single streaming query (they need
+  unbounded iteration over global state), so the snapshot-refresh
+  pattern is the honest scale design, not a limitation of this engine.
 
 Edges are keyed by NATURAL keys (conv_id/turn_idx/tool) in the stream —
 dense-id assignment is a global operation (graph.ids.dense_ids) and

@@ -1,0 +1,83 @@
+"""GraphSage inference (MeanAggregator.java semantics: self-inclusive
+mean → W· → activation → final L2 row normalize)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_data_science_spark.algorithms.graphsage import (
+    graphsage,
+    identity_weights,
+)
+from graph_data_science_spark.graph.build import LinkGraph
+
+
+def _fixture(spark):
+    # pair 0—1 (both directions) + isolated node 2
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 0, 1.0)], "src long, dst long, weight double"
+    )
+    feats = spark.createDataFrame(
+        [(0, [4.0, 0.0]), (1, [0.0, 2.0]), (2, [3.0, 3.0])],
+        "node_id long, features array<double>",
+    )
+    return LinkGraph(edges=edges, node_count=3), feats
+
+
+def test_identity_layer_mean_and_normalize(spark):
+    g, feats = _fixture(spark)
+    res = graphsage(g, feats, identity_weights(2))
+    emb = {r["node_id"]: list(r["embedding"]) for r in res.embeddings.collect()}
+    # node 0: mean([4,0],[0,2]) = [2,1]; normalized = [2,1]/sqrt(5)
+    s5 = math.sqrt(5.0)
+    assert emb[0] == pytest.approx([2 / s5, 1 / s5])
+    assert emb[1] == pytest.approx([2 / s5, 1 / s5])
+    # isolated node: mean of itself only, then normalized
+    s = math.sqrt(18.0)
+    assert emb[2] == pytest.approx([3 / s, 3 / s])
+
+
+def test_weight_matrix_and_relu(spark):
+    g, feats = _fixture(spark)
+    # W maps [a, b] -> [a - b, 0]: relu clamps negatives, zero row stays.
+    W = [[[1.0, -1.0], [0.0, 0.0]]]
+    res = graphsage(g, feats, W)
+    emb = {r["node_id"]: list(r["embedding"]) for r in res.embeddings.collect()}
+    # node 0: mean [2,1] -> [1, 0] -> normalize -> [1, 0]
+    assert emb[0] == pytest.approx([1.0, 0.0])
+    # node 2: mean [3,3] -> [0, 0] -> zero vector stays zero
+    assert emb[2] == pytest.approx([0.0, 0.0])
+
+
+def test_two_layers_chain(spark):
+    g, feats = _fixture(spark)
+    res = graphsage(g, feats, identity_weights(2) + identity_weights(2))
+    assert res.layers == 2
+    emb = {r["node_id"]: list(r["embedding"]) for r in res.embeddings.collect()}
+    # layer1 (pre-norm, relu keeps): h0 = h1 = [2,1]; layer2 mean of equal
+    # vectors = [2,1] -> normalized equal again.
+    s5 = math.sqrt(5.0)
+    assert emb[0] == pytest.approx([2 / s5, 1 / s5])
+
+
+def test_sample_size_deterministic(spark):
+    # hub 0 with 6 neighbors; sample 2 — same seed = same result.
+    edges = [(0, i, 1.0) for i in range(1, 7)]
+    g = LinkGraph(
+        edges=spark.createDataFrame(edges, "src long, dst long, weight double"), node_count=7
+    )
+    feats = spark.createDataFrame(
+        [(i, [float(i)]) for i in range(7)], "node_id long, features array<double>"
+    )
+    r1 = graphsage(g, feats, identity_weights(1), sample_size=2, seed=7)
+    r2 = graphsage(g, feats, identity_weights(1), sample_size=2, seed=7)
+    e1 = sorted(map(tuple, r1.embeddings.collect()))
+    e2 = sorted(map(tuple, r2.embeddings.collect()))
+    assert e1 == e2
+
+
+def test_bad_activation(spark):
+    g, feats = _fixture(spark)
+    with pytest.raises(ValueError):
+        graphsage(g, feats, identity_weights(2), activation="tanh")
