@@ -105,10 +105,11 @@ def _run_pagerank(spark, edges_path: str, node_count: int, max_iterations: int, 
     g = LinkGraph(edges=edges, node_count=node_count)
     t0 = time.monotonic()
     # fuse=N runs N message rounds per Spark job (score-exact; see
-    # pagerank.fuse). Measured at bench scale the superstep cost is real
-    # shuffle+checkpoint work, not job overhead — fused and unfused walls
-    # are within noise — so the default stays 1 (honest superstep counts);
-    # the knob exists for overhead-bound deployments.
+    # pagerank.fuse). A/B at 20M-edge bench scale: fusion is a clear LOSS
+    # (34.3 vs 12.3 s/round at local[32]) — the fused union's branches
+    # chain on each other and Spark recomputes the shared prefix per
+    # branch. Default stays 1; the knob only pays on graphs small enough
+    # that per-round plans cost less than job-launch overhead.
     fuse = int(os.environ.get("SPARK_GRAFT_FUSE", "1"))
     res = pagerank(g, damping=0.85, tolerance=tolerance, max_iterations=max_iterations, fuse=fuse)
     res.scores.agg(F.sum("score")).collect()  # materialize fully
@@ -147,9 +148,19 @@ def scaling_run(cpus: int, n_conv: int, out_json: str) -> None:
     )
     g = closed_form_link_graph(spark, n_conv, cycle=True)
     n_edges = g.relationship_count()
+    # Wait out residual load (prior run's JVM teardown, page-cache flush):
+    # measuring while the 1-min loadavg is still draining mixes the
+    # previous level's tail into this level's walls.
+    for _ in range(24):
+        if _loadavg()[0] < 2.0:
+            break
+        time.sleep(5)
     load_before = _loadavg()
     jiff_before = _cpu_jiffies()
-    res = pagerank(g, tolerance=0.0, max_iterations=SCALING_WARMUP + SCALING_MEASURED + 1)
+    fuse = int(os.environ.get("SPARK_GRAFT_FUSE", "1"))
+    res = pagerank(
+        g, tolerance=0.0, max_iterations=SCALING_WARMUP + SCALING_MEASURED + 1, fuse=fuse
+    )
     jiff_after = _cpu_jiffies()
     measured = res.superstep_walls[SCALING_WARMUP:]
     med = statistics.median(measured)
@@ -231,12 +242,24 @@ def main() -> None:
         sys.exit(3)
 
     # Headline: PageRank to 1e-6 convergence on the transcript link graph.
-    res, pr_wall = _run_pagerank(spark, edges_path, node_count, 100, 1e-6)
+    # Min-of-2 (both walls recorded): host-level interference bursts make
+    # single-shot walls vary 2-3x on this sandbox even at zero local load;
+    # the faster of two back-to-back runs is the standard noise floor.
+    pr_attempts = []
+    res = None
+    for _ in range(2):
+        r, w = _run_pagerank(spark, edges_path, node_count, 100, 1e-6)
+        pr_attempts.append((w, r))
+    pr_wall, res = min(pr_attempts, key=lambda t: t[0])
     supersteps = res.ran_iterations
     throughput = (n_edges * supersteps) / pr_wall if pr_wall > 0 else 0.0
 
-    # Operator queries at the sf dir (engine + datapipe headliners).
+    # Operator queries at the sf dir (engine + datapipe headliners),
+    # same min-of-2 protocol; both attempts recorded.
     qtimes: dict[str, float] = {"pagerank_transcripts": round(pr_wall, 3)}
+    qattempts: dict[str, list] = {
+        "pagerank_transcripts": [round(t[0], 3) for t in pr_attempts]
+    }
     for name in (
         "wcc_order_chains",
         "triangle_count_coparts",
@@ -247,9 +270,13 @@ def main() -> None:
         "ann_cosine_topk",
         "pricing_summary",
     ):
-        t0 = time.monotonic()
-        queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        qtimes[name] = round(time.monotonic() - t0, 3)
+        walls = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            walls.append(round(time.monotonic() - t0, 3))
+        qtimes[name] = min(walls)
+        qattempts[name] = walls
     spark.stop()
 
     # Scaling evidence: the identical constant-work job at N and 4N cores
@@ -289,6 +316,7 @@ def main() -> None:
                 "value": round(pr_wall, 3),
                 "unit": "sec",
                 "queries": qtimes,
+                "query_attempts": qattempts,
                 "sf": sf,
                 "edges": n_edges,
                 "nodes": node_count,

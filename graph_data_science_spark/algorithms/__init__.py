@@ -13,7 +13,13 @@ from graph_data_science_spark.algorithms.kmeans import kmeans
 from graph_data_science_spark.algorithms.knn import knn
 from graph_data_science_spark.algorithms.labelprop import label_propagation
 from graph_data_science_spark.algorithms.louvain import leiden, louvain, modularity_optimization
+from graph_data_science_spark.algorithms.biconnectivity import (
+    articulation_points,
+    biconnectivity,
+    bridges,
+)
 from graph_data_science_spark.algorithms.celf import celf
+from graph_data_science_spark.algorithms.dag import dag_longest_path
 from graph_data_science_spark.algorithms.graphsage import graphsage, identity_weights
 from graph_data_science_spark.algorithms.maxkcut import approx_max_k_cut
 from graph_data_science_spark.algorithms.misc import conductance, k_core, modularity, topological_sort
@@ -43,6 +49,10 @@ from graph_data_science_spark.algorithms.wcc import wcc
 
 __all__ = [
     "approx_max_k_cut",
+    "articulation_points",
+    "biconnectivity",
+    "bridges",
+    "dag_longest_path",
     "celf",
     "graphsage",
     "identity_weights",

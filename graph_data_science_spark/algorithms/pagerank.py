@@ -292,9 +292,12 @@ def pagerank(
     """``fuse``: number of message rounds executed per Spark job (default
     1 = classic one-job-per-superstep). Fusion is score-exact (the
     tolerance gate stays between rounds inside the plan) and trades
-    convergence-detection granularity for a proportional cut in fixed
-    per-superstep overhead — the right knob when supersteps are
-    overhead-bound (small graphs or very fast clusters)."""
+    convergence-detection granularity for fewer job launches. CAVEAT
+    (measured, 20M-edge cycle graph at local[32]): the fused rounds are
+    committed as one union whose branches chain on each other, and Spark
+    re-executes the shared prefix per branch — 34.3 vs 12.3 s/round
+    against unfused. Fuse only when the per-round plan is cheaper than
+    job-launch overhead (small graphs / very fast clusters)."""
     norm = _normalized_edges(graph, weighted)
     return _rank_loop(
         graph, norm, damping, tolerance, max_iterations, source_nodes,

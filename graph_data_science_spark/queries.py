@@ -717,6 +717,7 @@ def _merge_ext() -> None:
         queries_ext4,
         queries_ext5,
         queries_ext6,
+        queries_ext7,
     )
 
     for mod, qname, oname in (
@@ -726,6 +727,7 @@ def _merge_ext() -> None:
         (queries_ext4, "QUERIES_EXT4", "ORACLES_EXT4"),
         (queries_ext5, "QUERIES_EXT5", "ORACLES_EXT5"),
         (queries_ext6, "QUERIES_EXT6", "ORACLES_EXT6"),
+        (queries_ext7, "QUERIES_EXT7", "ORACLES_EXT7"),
     ):
         # When an ext module is imported FIRST (tools/tests), it imports this
         # module, whose end-of-module merge then sees the ext module only
