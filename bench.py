@@ -132,11 +132,22 @@ def scaling_run(cpus: int, n_conv: int, out_json: str) -> None:
     #   parallelism level, which is also how a real cluster is sized;
     # - partition-count coalescing OFF so AQE can't silently reduce the
     #   wave structure differently per level (skew-join stays on);
-    # - heap ∝ cores (4g + 0.5g/core, capped 16g): a fixed pre-touched
-    #   16 GiB heap gives the small runs identical GC geometry to the big
-    #   ones, which distorts the per-core comparison.
-    mem_gb = min(16, 4 + cpus // 2)
-    os.environ["SPARK_GRAFT_DRIVER_MEM"] = f"{mem_gb}g"
+    # - heap = 4g base + 1g PER CORE (uncapped up to 96g; the box has
+    #   128 GiB): an N→4N cluster comparison holds memory-per-core
+    #   constant — each added executor brings its own heap. The previous
+    #   rule (4g + 0.5g/core capped at 16g) silently handed the 32-core
+    #   level HALF the per-core heap of the 8-core level and measured
+    #   that starvation as "poor 8→32 scaling": a controlled A/B at 40M
+    #   edges (bench_experiments/r3_40M_c32_heap16g.json vs
+    #   ..._heap48g.json) shows 16g→48g at local[32] is +57% throughput
+    #   (1.95M → 3.06M edges/s/superstep) while the same 8g→48g sweep at
+    #   local[8] moves nothing (1.354M → 1.353M) — heap binds only at
+    #   high core counts, so per-core heap must not shrink with N.
+    # An explicit SPARK_GRAFT_DRIVER_MEM wins (heap-sensitivity experiments);
+    # otherwise heap-per-core as above.
+    if not os.environ.get("SPARK_GRAFT_DRIVER_MEM"):
+        mem_gb = min(96, 4 + cpus)
+        os.environ["SPARK_GRAFT_DRIVER_MEM"] = f"{mem_gb}g"
     spark = get_spark(
         app_name=f"bench-scaling-{cpus}",
         master=f"local[{cpus}]",
