@@ -45,7 +45,7 @@ from graph_data_science_spark.algorithms.triangles import (
     triangle_listing,
 )
 from graph_data_science_spark.algorithms.walks import collapse_path, random_walks
-from graph_data_science_spark.algorithms.wcc import wcc
+from graph_data_science_spark.algorithms.wcc import wcc, wcc_star
 
 __all__ = [
     "approx_max_k_cut",
@@ -101,4 +101,5 @@ __all__ = [
     "triangle_count",
     "triangle_listing",
     "wcc",
+    "wcc_star",
 ]

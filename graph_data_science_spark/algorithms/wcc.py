@@ -30,7 +30,11 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from graph_data_science_spark.graph.build import LinkGraph
-from graph_data_science_spark.pregel.superstep import SuperstepLoop, edge_lineage
+from graph_data_science_spark.pregel.superstep import (
+    SuperstepLoop,
+    edge_lineage,
+    free_checkpointed,
+)
 
 
 @dataclass
@@ -139,3 +143,121 @@ def wcc(
         ran_iterations=it,
         loop=loop,
     )
+
+
+def _large_star(pairs: DataFrame) -> DataFrame:
+    """One large-star round over canonical (s < b) pairs.
+
+    For every node u: m(u) = min(Γ(u) ∪ {u}); every strictly-larger
+    neighbor v re-attaches to m(u). Since m(u) ≤ u < v the output pairs
+    are canonical by construction.
+    """
+    nbrs = pairs.select(F.col("s").alias("u"), F.col("b").alias("v")).union(
+        pairs.select(F.col("b").alias("u"), F.col("s").alias("v"))
+    )
+    mins = nbrs.groupBy("u").agg(F.min("v").alias("mv"))
+    mins = mins.select("u", F.least(F.col("mv"), F.col("u")).alias("m"))
+    return (
+        nbrs.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("m").alias("s"), F.col("v").alias("b"))
+        .filter(F.col("s") != F.col("b"))
+        .distinct()
+    )
+
+
+def _small_star(pairs: DataFrame) -> DataFrame:
+    """One small-star round: every node b re-attaches its smaller
+    neighborhood N = {s : (s,b)} to m = min(N); b itself links to m.
+    m < s and m < b for every emitted pair, so output stays canonical."""
+    mins = pairs.groupBy("b").agg(F.min("s").alias("m"))
+    joined = pairs.join(mins, "b")
+    re_attached = joined.filter(F.col("s") != F.col("m")).select(
+        F.col("m").alias("s"), F.col("s").alias("b")
+    )
+    up_links = mins.select(F.col("m").alias("s"), "b")
+    return re_attached.union(up_links).distinct()
+
+
+def wcc_star(
+    graph: LinkGraph,
+    threshold: float | None = None,
+    max_iterations: int = 64,
+    checkpoint_dir: str | None = None,
+) -> WccResult:
+    """WCC via alternating large-star / small-star contraction (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    scale path for very large graphs: unlike min-label propagation
+    (``wcc()``), which joins the FULL symmetrized edge set every round,
+    star contraction REWRITES the edge set each round, so the frame being
+    shuffled contracts toward a star forest (one edge per non-root node)
+    as components collapse. Reaches the identical union-by-min fixpoint as
+    GDS's CAS union-find (``core/.../dss/HugeAtomicDisjointSetStruct.java:163-191``):
+    component id = min member node id.
+
+    Scale notes: pairs are kept canonical (s < b), halving state vs a
+    symmetrized list; ``distinct()`` per round folds the multi-edges that
+    contraction creates, keeping |E| monotone-bounded; group keys are raw
+    node ids (uniform under hash partitioning), and the late-round skew on
+    component roots is AQE's skew-join case — inherent to the star shape,
+    same as union-find root contention in the reference. Convergence is
+    detected EXACTLY: a round pair that leaves the canonical edge set
+    unchanged is the paper's fixpoint (both anti-join counts zero), never
+    a heuristic label check.
+
+    ``seeds`` are not supported here — seed labels are not node ids, which
+    star contraction requires; use ``wcc(seeds=...)``.
+    """
+    spark = graph.edges.sparkSession
+    e = graph.edges
+    if threshold is not None:
+        e = e.filter(F.col("weight") > threshold)
+    par = spark.sparkContext.defaultParallelism
+    pairs = (
+        e.select(F.least("src", "dst").alias("s"), F.greatest("src", "dst").alias("b"))
+        .filter(F.col("s") != F.col("b"))
+        .distinct()
+        .repartition(par, "b")
+    )
+
+    # auto_free_prev=False: the convergence anti-join still reads the
+    # PREVIOUS round's committed frame after the new commit; it is freed
+    # manually below once the comparison is done.
+    loop = SuperstepLoop(
+        spark,
+        "wcc_star",
+        checkpoint_dir,
+        lineage=edge_lineage(
+            graph.edges,
+            params={"algo": "wcc_star", "threshold": threshold},
+            content_sample=checkpoint_dir is not None,
+        ),
+        auto_free_prev=False,
+    )
+    resumed = loop.resume()
+    if resumed is not None:
+        pairs, start = resumed[0], resumed[1] + 1
+    else:
+        pairs = loop.commit(pairs, 0, {})
+        start = 1
+
+    it = start - 1
+    for it in range(start, max_iterations + 1):
+        stepped = _small_star(_large_star(pairs))
+        stepped = loop.commit(stepped, it, {})
+        changed = (
+            pairs.join(stepped, ["s", "b"], "left_anti").count()
+            + stepped.join(pairs, ["s", "b"], "left_anti").count()
+        )
+        free_checkpointed(pairs)
+        pairs = stepped
+        if changed == 0:
+            break
+
+    roots = pairs.groupBy("b").agg(F.min("s").alias("m"))
+    components = (
+        graph.node_ids()
+        .join(roots, F.col("node_id") == F.col("b"), "left")
+        .select("node_id", F.coalesce(F.col("m"), F.col("node_id")).alias("component"))
+    )
+    return WccResult(components=components, ran_iterations=it, loop=loop)

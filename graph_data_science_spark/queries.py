@@ -19,7 +19,7 @@ from graph_data_science_spark.algorithms.labelprop import label_propagation
 from graph_data_science_spark.algorithms.pagerank import pagerank
 from graph_data_science_spark.algorithms.similarity import node_similarity
 from graph_data_science_spark.algorithms.triangles import triangle_count
-from graph_data_science_spark.algorithms.wcc import wcc
+from graph_data_science_spark.algorithms.wcc import wcc, wcc_star
 from graph_data_science_spark.datapipe.ann import cosine_topk
 from graph_data_science_spark.datapipe.dedup import (
     exact_dedup,
@@ -305,6 +305,14 @@ Q_WCC_SQL = """
            CAST(MIN(o_orderkey) OVER (PARTITION BY o_custkey) AS BIGINT) AS component
     FROM orders
 """
+
+
+def q_wcc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same component fixpoint via alternating large-star/small-star
+    contraction (`wcc_star`, the contracting-edge-set scale path) — must
+    bit-match the min-label-propagation oracle."""
+    g = _order_chain_graph(spark, sf_dir)
+    return wcc_star(g).components.select("node_id", "component")
 
 
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -689,6 +697,7 @@ Q_ANN_SQL = """
 QUERIES = {
     "degree_centrality": q_degree_centrality,
     "wcc_order_chains": q_wcc,
+    "wcc_star_order_chains": q_wcc_star,
     "pagerank_supply_web": q_pagerank,
     "triangle_count_coparts": q_triangle_count,
     "node_similarity_jaccard": q_node_similarity,
@@ -745,6 +754,7 @@ def _merge_ext() -> None:
 ORACLES = {
     "degree_centrality": Q_DEGREE_SQL,
     "wcc_order_chains": Q_WCC_SQL,
+    "wcc_star_order_chains": Q_WCC_SQL,
     "pagerank_supply_web": Q_PAGERANK_SQL,
     "triangle_count_coparts": Q_TRIANGLE_SQL,
     "node_similarity_jaccard": Q_NODESIM_SQL,
