@@ -36,6 +36,7 @@ from graph_data_science_spark.algorithms.sllpa import speaker_listener_lpa
 from graph_data_science_spark.algorithms.spanning import (
     k_spanning_tree,
     minimum_spanning_forest,
+    prize_steiner_tree,
     spanning_tree,
     steiner_tree_approx,
 )
@@ -80,6 +81,7 @@ __all__ = [
     "k_spanning_tree",
     "minimum_spanning_forest",
     "spanning_tree",
+    "prize_steiner_tree",
     "steiner_tree_approx",
     "kmeans",
     "knn",

@@ -395,3 +395,148 @@ def steiner_tree_approx(
         effective_node_count=int(agg["n"]),
         terminals_reached=reached,
     )
+
+
+@dataclass
+class PrizeSteinerResult:
+    # (node_id, parent, cost_to_parent) for every node of the root's tree
+    # component; parent = -1 marks the root, parent = -2 marks PRUNED nodes
+    # (sentinels of the reference PrizeSteinerTreeResult.java: ROOT=-1,
+    # PRUNED=-2); pruned rows carry cost_to_parent = 0.0.
+    tree: DataFrame
+    total_weight: float  # Σ cost_to_parent over kept edges
+    sum_of_prizes: float  # Σ prize over kept nodes
+    effective_node_count: int  # kept nodes (root included)
+
+
+def prize_steiner_tree(
+    graph: LinkGraph,
+    prizes: DataFrame,
+    root: int,
+    max_iterations: int = 64,
+) -> PrizeSteinerResult:
+    """Prize-collecting Steiner tree: strong pruning over an MST substrate.
+
+    The reference (``algo/.../pricesteiner/PCSTFast.java``) runs a
+    Goemans–Williamson growth phase (moats + pairing heaps — inherently
+    sequential pointer machinery) to pick a tree, then **StrongPruning**
+    (``StrongPruning.java:87-113``): peel leaves, fold ``prize`` into
+    ``dp``, keep the edge to the parent iff ``cost < dp(leaf)`` and add
+    ``dp(leaf) - cost`` to the parent, else prune the whole subtree. The
+    distributed analog here substitutes the growth phase with the Borůvka
+    minimum spanning tree of ``root``'s component (documented
+    approximation — the pruning phase, where the prize/cost trade-off is
+    decided, is the reference recurrence exactly) and runs the same DP
+    level-synchronously:
+
+    - upward: O(tree depth) leaf-peel rounds, each a leaf selection
+      (anti-join on remaining parents) + grouped gain fold into parents;
+    - downward: O(tree depth) frontier rounds propagating keep decisions
+      root→leaves (a subtree whose top edge was cut is pruned wholesale,
+      matching the reference's subtree pruning at ``:112``).
+
+    ``prizes``: (node_id long, prize double) — missing nodes read as 0.
+    Ties (``dp == cost``) prune, matching the reference's strict ``<``.
+    Unlike the reference, the solution is rooted at the caller's ``root``
+    rather than at the growth phase's best cluster — the DP below the
+    root is identical.
+    """
+    base = spanning_tree(graph, int(root)).tree
+    _mark = roundtrip_mark()
+    pz = prizes.select("node_id", F.col("prize").cast("double").alias("prize"))
+    active = (
+        base.filter(F.col("parent") != -1)
+        .join(pz, "node_id", "left")
+        .select(
+            "node_id",
+            "parent",
+            "cost_to_parent",
+            F.coalesce(F.col("prize"), F.lit(0.0)).alias("dp"),
+        )
+    )
+    active = materialize_roundtrip(active, tag="pcst_up", keep_last=2)
+
+    decided_frames = []
+    for _ in range(max_iterations * 64):
+        inner = active.select(F.col("parent").alias("p")).distinct()
+        leaves = active.join(inner, active["node_id"] == inner["p"], "left_anti")
+        obs = Observation()
+        leaves = leaves.observe(obs, F.count(F.lit(1)).alias("n"))
+        leaves = materialize_roundtrip(leaves, tag="pcst_leaf", keep_last=2)
+        if not int(obs.get.get("n") or 0):
+            break
+        decided = leaves.select(
+            "node_id",
+            "parent",
+            "cost_to_parent",
+            (F.col("dp") > F.col("cost_to_parent")).alias("keep"),
+        )
+        decided = materialize_roundtrip(decided, tag="pcst_dec")
+        decided_frames.append(decided)
+        gains = (
+            decided.filter(F.col("keep"))
+            .join(leaves.select("node_id", "dp"), "node_id")
+            .groupBy(F.col("parent").alias("g_node"))
+            .agg(F.sum(F.col("dp") - F.col("cost_to_parent")).alias("gain"))
+        )
+        rem = active.join(leaves.select("node_id"), "node_id", "left_anti")
+        active = (
+            rem.join(gains, rem["node_id"] == gains["g_node"], "left")
+            .select(
+                rem["node_id"],
+                rem["parent"],
+                rem["cost_to_parent"],
+                (rem["dp"] + F.coalesce(gains["gain"], F.lit(0.0))).alias("dp"),
+            )
+        )
+        active = materialize_roundtrip(active, tag="pcst_up", keep_last=2)
+
+    spark = graph.edges.sparkSession
+    if decided_frames:
+        all_dec = decided_frames[0]
+        for fr in decided_frames[1:]:
+            all_dec = all_dec.union(fr)
+        all_dec = materialize_roundtrip(all_dec, tag="pcst_alldec")
+    else:
+        all_dec = spark.createDataFrame(
+            [], "node_id long, parent long, cost_to_parent double, keep boolean"
+        )
+
+    # Downward sweep: keep(v) ⟺ keep-edge(v) ∧ keep(parent(v)); root kept.
+    kept = spark.createDataFrame([(int(root), -1, 0.0)], "node_id long, parent long, cost_to_parent double")
+    kept = materialize_roundtrip(kept, tag="pcst_kept", keep_last=2)
+    frontier = kept.select("node_id")
+    for _ in range(max_iterations * 64):
+        children = (
+            all_dec.filter(F.col("keep"))
+            .join(frontier.withColumnRenamed("node_id", "f"), F.col("parent") == F.col("f"))
+            .select("node_id", "parent", "cost_to_parent")
+        )
+        obs = Observation()
+        children = children.observe(obs, F.count(F.lit(1)).alias("n"))
+        children = materialize_roundtrip(children, tag="pcst_front", keep_last=2)
+        if not int(obs.get.get("n") or 0):
+            break
+        kept = materialize_roundtrip(kept.union(children), tag="pcst_kept", keep_last=2)
+        frontier = children.select("node_id")
+
+    pruned = base.join(kept.select("node_id"), "node_id", "left_anti").select(
+        "node_id", F.lit(-2).cast("long").alias("parent"), F.lit(0.0).alias("cost_to_parent")
+    )
+    tree = materialize_roundtrip(kept.union(pruned), tag="pcst_out")
+    agg = (
+        kept.join(pz, "node_id", "left")
+        .agg(
+            F.sum("cost_to_parent").alias("tw"),
+            F.sum(F.coalesce(F.col("prize"), F.lit(0.0))).alias("pz"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()[0]
+    )
+    roundtrip_release(_mark, keep=[tree])
+    return PrizeSteinerResult(
+        tree=tree,
+        total_weight=float(agg["tw"] or 0.0),
+        sum_of_prizes=float(agg["pz"] or 0.0),
+        effective_node_count=int(agg["n"]),
+    )

@@ -140,14 +140,71 @@ Q_DAG_LONGEST_SQL = """
 """
 
 
+# --------------------------------------------------------------------------
+# prize-collecting Steiner star fixture
+#   hub node = customer count (one past the last 0-based custkey); one
+#   edge hub→custkey with cost (custkey % 7) + 1; prize(custkey) =
+#   max(acctbal, 0) / 1000. The MST of a star IS the star, so strong
+#   pruning's keep rule (prize > cost strictly, StrongPruning.java:112)
+#   is closed-form per leaf; ties (acctbal exactly 1000·cost) prune in
+#   both engines (same double arithmetic).
+# --------------------------------------------------------------------------
+
+
+def q_prize_steiner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """prize_steiner_tree (reference algo/.../pricesteiner/PCSTFast.java +
+    StrongPruning.java) on a star: parent = hub for kept leaves, -2 for
+    pruned, -1 for the hub root."""
+    from graph_data_science_spark.algorithms.spanning import prize_steiner_tree
+
+    cust = _t(spark, sf_dir, "customer")
+    n = cust.count()
+    edges = cust.select(
+        F.lit(int(n)).cast("long").alias("src"),
+        F.col("c_custkey").cast("long").alias("dst"),
+        (F.col("c_custkey") % 7 + 1).cast("double").alias("weight"),
+    )
+    prizes = cust.select(
+        F.col("c_custkey").cast("long").alias("node_id"),
+        (F.greatest(F.col("c_acctbal").cast("double"), F.lit(0.0)) / F.lit(1000.0)).alias(
+            "prize"
+        ),
+    )
+    g = LinkGraph(edges=edges, node_count=int(n) + 1)
+    res = prize_steiner_tree(g, prizes, root=int(n))
+    return res.tree.select("node_id", "parent", "cost_to_parent")
+
+
+Q_PRIZE_STEINER_SQL = """
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS hub FROM customer),
+    c AS (
+      SELECT CAST(c_custkey AS BIGINT) AS node_id,
+             CAST(c_custkey % 7 + 1 AS DOUBLE) AS cost,
+             GREATEST(CAST(c_acctbal AS DOUBLE), 0.0) / 1000.0 AS prize
+        FROM customer
+    )
+    SELECT node_id,
+           CASE WHEN prize > cost THEN (SELECT hub FROM n)
+                ELSE CAST(-2 AS BIGINT) END AS parent,
+           CASE WHEN prize > cost THEN cost ELSE 0.0 END AS cost_to_parent
+      FROM c
+    UNION ALL
+    SELECT (SELECT hub FROM n) AS node_id,
+           CAST(-1 AS BIGINT) AS parent,
+           0.0 AS cost_to_parent
+"""
+
+
 QUERIES_EXT7 = {
     "bridges_hub_cliques": q_bridges,
     "articulation_hub_cliques": q_articulation,
     "dag_longest_path_routes": q_dag_longest,
+    "prize_steiner_customers": q_prize_steiner,
 }
 
 ORACLES_EXT7 = {
     "bridges_hub_cliques": Q_BRIDGES_SQL,
     "articulation_hub_cliques": Q_ARTICULATION_SQL,
     "dag_longest_path_routes": Q_DAG_LONGEST_SQL,
+    "prize_steiner_customers": Q_PRIZE_STEINER_SQL,
 }
