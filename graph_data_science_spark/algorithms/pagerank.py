@@ -90,6 +90,7 @@ def _rank_loop(
     hot_degree_threshold: int,
     message_path: str = "sql",
     fuse: int = 1,
+    initial_scores: DataFrame | None = None,
 ) -> RankResult:
     """``message_path``: 'sql' (default) keeps the per-superstep SpMV fully
     JVM-side (co-partitioned join + hash agg — the fast path for reducible
@@ -119,6 +120,7 @@ def _rank_loop(
                 "damping": damping,
                 "tolerance": tolerance,
                 "source_nodes": source_nodes,
+                "warm": initial_scores is not None,
             },
             content_sample=checkpoint_dir is not None,
         ),
@@ -169,6 +171,18 @@ def _rank_loop(
             for i in range(0, last + 1)
             if _os.path.exists(loop._marker(i))
         ]
+        if initial_scores is not None:
+            # Warm-start runs fold the previous solution in as delta_(-1)
+            # (see below); committed states are residual deltas only, so
+            # the resume refold must re-seed it too. The lineage params
+            # record warm=True, so a cold checkpoint can never be resumed
+            # into a warm run or vice versa.
+            frames.insert(
+                0,
+                initial_scores.select(
+                    F.col("node_id").alias("node"), F.col("score").cast("double").alias("delta")
+                ),
+            )
         running = _fold(None, frames)
         delta = frames[-1]
         if "_s" in delta.columns:
@@ -186,9 +200,41 @@ def _rank_loop(
             ).otherwise(F.lit(0.0))
         else:
             init = F.lit(alpha)
-        delta = nodes.select("node", init.alias("delta")).filter(F.col("delta") != 0.0)
+        if initial_scores is not None:
+            # Warm start (incremental refresh): since rank = Σ deltas, a
+            # previous solution folds in as the zeroth "delta" and the
+            # loop pushes only the RESIDUAL r0 = b + d·M·prev − prev
+            # (b = the init vector above). On an unchanged converged
+            # graph r0 ≤ tol everywhere ⇒ zero message rounds; on a
+            # grown graph the work is proportional to how far prev is
+            # from the new fixpoint, not to |V|. Residuals are signed
+            # (scores can DROP when a node's in-neighbor gains
+            # out-degree), which is why every tolerance gate below is on
+            # |delta| — equivalent for the all-positive cold start.
+            prev = initial_scores.select(
+                F.col("node_id").alias("node"), F.col("score").cast("double").alias("prev")
+            )
+            contrib = msg_fn(prev.select("node", F.col("prev").alias("msg_val"))).select(
+                F.col("dst").alias("node"), (F.lit(damping) * F.col("msg")).alias("c")
+            )
+            delta = (
+                nodes.join(prev, "node", "left")
+                .join(contrib, "node", "left")
+                .select(
+                    "node",
+                    (
+                        init
+                        + F.coalesce(F.col("c"), F.lit(0.0))
+                        - F.coalesce(F.col("prev"), F.lit(0.0))
+                    ).alias("delta"),
+                )
+                .filter(F.col("delta") != 0.0)
+            )
+            running = prev.select("node", F.col("prev").alias("delta"))
+        else:
+            delta = nodes.select("node", init.alias("delta")).filter(F.col("delta") != 0.0)
+            running = None
         delta = loop.commit(delta, 0, {"active": -1})
-        running = None
         start = 1
         pending_init = [delta]
 
@@ -215,7 +261,7 @@ def _rank_loop(
         # deduplicated by Spark's exchange reuse. Cuts the fixed
         # job-launch/commit overhead per superstep by the fusion factor.
         rounds = min(fuse, max_iterations - (it + 1))
-        cur = delta.filter(F.col("delta") > tolerance).select("node", "delta")
+        cur = delta.filter(F.abs("delta") > tolerance).select("node", "delta")
         frames = []
         for r in range(rounds):
             msgs = msg_fn(cur.select("node", F.col("delta").alias("msg_val")))
@@ -224,7 +270,7 @@ def _rank_loop(
             )
             frames.append(nd.select("node", "delta", F.lit(r).alias("_s")))
             if r + 1 < rounds:
-                cur = nd.filter(F.col("delta") > tolerance).select("node", "delta")
+                cur = nd.filter(F.abs("delta") > tolerance).select("node", "delta")
         fused = frames[0]
         for fr in frames[1:]:
             fused = fused.union(fr)
@@ -232,7 +278,7 @@ def _rank_loop(
         fused = fused.observe(
             obs,
             F.sum(
-                F.when((F.col("_s") == rounds - 1) & (F.col("delta") > tolerance), 1).otherwise(0)
+                F.when((F.col("_s") == rounds - 1) & (F.abs("delta") > tolerance), 1).otherwise(0)
             ).alias("active"),
         )
         it += rounds
@@ -288,8 +334,16 @@ def pagerank(
     hot_degree_threshold: int = 2_000_000,
     message_path: str = "sql",
     fuse: int = 1,
+    initial_scores: DataFrame | None = None,
 ) -> RankResult:
-    """``fuse``: number of message rounds executed per Spark job (default
+    """``initial_scores``: optional (node_id, score) frame — warm-start
+    the iteration from a previous solution (incremental refresh): the loop
+    pushes only the residual vs the supplied scores, so an unchanged
+    converged graph costs zero message rounds and a slightly-grown graph
+    costs work proportional to the drift. Scores converge to the same
+    fixpoint as a cold run (power iteration is start-independent).
+
+    ``fuse``: number of message rounds executed per Spark job (default
     1 = classic one-job-per-superstep). Fusion is score-exact (the
     tolerance gate stays between rounds inside the plan) and trades
     convergence-detection granularity for fewer job launches. CAVEAT
@@ -302,7 +356,7 @@ def pagerank(
     return _rank_loop(
         graph, norm, damping, tolerance, max_iterations, source_nodes,
         checkpoint_dir, "pagerank", num_blocks, hot_degree_threshold,
-        message_path=message_path, fuse=fuse,
+        message_path=message_path, fuse=fuse, initial_scores=initial_scores,
     )
 
 

@@ -104,3 +104,18 @@ def test_incremental_pagerank_foreachbatch(spark, tmp_path):
     # scores joined back by (conv_id, turn_idx): per-turn text equality
     joined = out.join(spark.read.parquet(store), ["conv_id", "turn_idx"])
     assert joined.count() == n_turns
+    # warm-started incremental refreshes (batch 2+) must land on the same
+    # fixpoint as a cold run over the final snapshot
+    from graph_data_science_spark.algorithms import pagerank
+    from graph_data_science_spark.transcripts import derive_link_graph
+
+    tg = derive_link_graph(spark.read.parquet(store))
+    cold = pagerank(tg.graph, tolerance=1e-6, max_iterations=30)
+    ref = cold.scores.join(tg.turn_ids, "node_id").select("conv_id", "turn_idx", "score")
+    diff = (
+        out.select("conv_id", "turn_idx", F.col("score").alias("s1"))
+        .join(ref.select("conv_id", "turn_idx", F.col("score").alias("s2")), ["conv_id", "turn_idx"])
+        .filter(F.abs(F.col("s1") - F.col("s2")) > 1e-4)
+        .count()
+    )
+    assert diff == 0
