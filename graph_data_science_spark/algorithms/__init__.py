@@ -9,8 +9,9 @@ from graph_data_science_spark.algorithms.degree import degree_centrality
 from graph_data_science_spark.algorithms.exposure import indirect_exposure
 from graph_data_science_spark.algorithms.fastrp import fastrp
 from graph_data_science_spark.algorithms.hits import hits
-from graph_data_science_spark.algorithms.kmeans import kmeans
-from graph_data_science_spark.algorithms.knn import knn
+from graph_data_science_spark.algorithms.kge import kge_predict
+from graph_data_science_spark.algorithms.kmeans import kmeans, kmeanspp_centroids, silhouette
+from graph_data_science_spark.algorithms.knn import filtered_knn, knn
 from graph_data_science_spark.algorithms.labelprop import label_propagation
 from graph_data_science_spark.algorithms.louvain import leiden, louvain, modularity_optimization
 from graph_data_science_spark.algorithms.biconnectivity import (
@@ -27,7 +28,7 @@ from graph_data_science_spark.algorithms.traverse import dfs
 from graph_data_science_spark.algorithms.pagerank import article_rank, eigenvector, pagerank
 from graph_data_science_spark.algorithms.hashgnn import hashgnn
 from graph_data_science_spark.algorithms.node2vec import node2vec
-from graph_data_science_spark.algorithms.paths import astar, bfs_levels, dijkstra, shortest_paths
+from graph_data_science_spark.algorithms.paths import all_shortest_paths, astar, bfs_levels, dijkstra, shortest_paths
 from graph_data_science_spark.algorithms.yens import yens
 from graph_data_science_spark.algorithms.scaling import scale_properties
 from graph_data_science_spark.algorithms.scc import scc
@@ -46,7 +47,7 @@ from graph_data_science_spark.algorithms.triangles import (
     triangle_listing,
 )
 from graph_data_science_spark.algorithms.walks import collapse_path, random_walks
-from graph_data_science_spark.algorithms.wcc import wcc, wcc_star
+from graph_data_science_spark.algorithms.wcc import wcc, wcc_sampled, wcc_star
 
 __all__ = [
     "approx_max_k_cut",
@@ -83,7 +84,11 @@ __all__ = [
     "spanning_tree",
     "prize_steiner_tree",
     "steiner_tree_approx",
+    "kge_predict",
     "kmeans",
+    "kmeanspp_centroids",
+    "silhouette",
+    "filtered_knn",
     "knn",
     "label_propagation",
     "leiden",
@@ -97,11 +102,13 @@ __all__ = [
     "random_walks",
     "scale_properties",
     "scc",
+    "all_shortest_paths",
     "shortest_paths",
     "speaker_listener_lpa",
     "topological_sort",
     "triangle_count",
     "triangle_listing",
     "wcc",
+    "wcc_sampled",
     "wcc_star",
 ]

@@ -41,6 +41,45 @@ def _dist_sq(vec_col, centroid: list) -> F.Column:
     )
 
 
+def kmeanspp_centroids(
+    df: DataFrame,
+    k: int,
+    random_seed: int = 42,
+    first_centroid: list | None = None,
+) -> list:
+    """K-Means++ style initial centroids (reference
+    ``algo/.../kmeans/KmeansPlusPlusSampler.java``): after the first pick,
+    each next centroid is chosen by squared distance to the nearest
+    already-picked centroid. The reference samples D²-proportionally from
+    a seeded SplittableRandom; the deterministic cluster-reproducible
+    analog here is greedy farthest-first — argmax of min-D², ties to the
+    smaller node id (same determinism rationale as the uniform rule in
+    :func:`kmeans`). ``df`` must be (node_id, vec). One scan per pick.
+    """
+    if first_centroid is not None:
+        centroids = [list(map(float, first_centroid))]
+    else:
+        r0 = (
+            df.select("vec", F.xxhash64(F.lit(int(random_seed)), F.col("node_id")).alias("_h"))
+            .orderBy("_h")
+            .limit(1)
+            .collect()
+        )
+        centroids = [list(r0[0]["vec"])]
+    while len(centroids) < k:
+        min_d2 = _dist_sq(F.col("vec"), centroids[0])
+        for c in centroids[1:]:
+            min_d2 = F.least(min_d2, _dist_sq(F.col("vec"), c))
+        far = (
+            df.select("node_id", "vec", min_d2.alias("_d2"))
+            .orderBy(F.desc("_d2"), F.asc("node_id"))
+            .limit(1)
+            .collect()
+        )
+        centroids.append(list(far[0]["vec"]))
+    return centroids
+
+
 def kmeans(
     nodes: DataFrame,
     k: int = 4,
@@ -50,6 +89,7 @@ def kmeans(
     delta_threshold: float = 0.05,
     random_seed: int = 42,
     seed_centroids: list | None = None,
+    init: str = "uniform",
 ) -> KmeansResult:
     df = nodes.select(
         F.col(id_col).cast("long").alias("node_id"),
@@ -75,6 +115,8 @@ def kmeans(
 
     if seed_centroids is not None:
         centroids = [list(map(float, c)) for c in seed_centroids]
+    elif init == "kmeans++":
+        centroids = kmeanspp_centroids(df, k, random_seed=random_seed)
     else:
         rows = (
             df.select("vec", F.xxhash64(F.lit(int(random_seed)), F.col("node_id")).alias("_h"))
@@ -134,3 +176,102 @@ def kmeans(
         ran_iterations=it,
         did_converge=converged,
     )
+
+
+@dataclass
+class SilhouetteResult:
+    scores: DataFrame  # (node_id long, silhouette double)
+    average_silhouette: float
+
+
+def silhouette(
+    nodes: DataFrame,
+    id_col: str = "node_id",
+    vec_col: str = "embedding",
+    community_col: str = "community",
+    exact_node_limit: int = 50_000,
+) -> SilhouetteResult:
+    """Exact silhouette over a clustered vector frame (reference
+    ``algo/.../kmeans/SilhouetteTask.java:30``, the ``computeSilhouette``
+    option of KMeans). Per node i in cluster c:
+
+    - ``a(i)`` = mean Euclidean distance to the OTHER members of c
+      (denominator ``|c| - 1``, SilhouetteTask.java:102 — a singleton
+      cluster yields NaN exactly as the Java 0/0 does);
+    - ``b(i)`` = min over clusters j != c of the mean distance to j's
+      members (denominator ``|j|``);
+    - ``s(i) = (b - a) / max(a, b)``.
+
+    The reference is literally O(V^2) pairwise (every task loops all
+    nodes per node); the distributed form is one cross join aggregated to
+    (node, cluster) partials — O(V^2) scored rows but only O(V * k)
+    shuffled, since the distance sum folds map-side. Guarded by
+    ``exact_node_limit`` like the other exact-all-pairs modes: at 100x
+    scale silhouette must run on a sample, not the corpus.
+    """
+    pts = nodes.select(
+        F.col(id_col).cast("long").alias("node_id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+        F.col(community_col).cast("int").alias("community"),
+    ).persist()
+    n = pts.count()
+    if n > exact_node_limit:
+        pts.unpersist()
+        raise ValueError(
+            f"silhouette is exact O(V^2) pairwise ({n} nodes > limit "
+            f"{exact_node_limit}); pass a sampled frame or raise "
+            f"exact_node_limit explicitly"
+        )
+    sizes = pts.groupBy("community").agg(F.count("*").alias("cnt"))
+
+    a = pts.select("node_id", "vec", "community")
+    b = pts.select(
+        F.col("node_id").alias("_oid"),
+        F.col("vec").alias("_ovec"),
+        F.col("community").alias("_ocomm"),
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("vec"), F.col("_ovec"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    # (node, other-cluster) distance partials; the self pair contributes 0
+    # to the own-cluster sum, matching the reference's skip of i == i.
+    partials = (
+        a.crossJoin(b)
+        .select("node_id", "community", F.col("_ocomm"), dist.alias("_d"))
+        .groupBy("node_id", "community", "_ocomm")
+        .agg(F.sum("_d").alias("_sum"))
+    )
+    per_cluster = partials.join(
+        F.broadcast(sizes.withColumnRenamed("community", "_ocomm")), "_ocomm"
+    ).select(
+        "node_id",
+        "community",
+        "_ocomm",
+        F.when(
+            F.col("_ocomm") == F.col("community"),
+            F.col("_sum") / (F.col("cnt") - F.lit(1.0)),
+        )
+        .otherwise(F.col("_sum") / F.col("cnt"))
+        .alias("_mean"),
+        (F.col("_ocomm") == F.col("community")).alias("_own"),
+    )
+    scores = (
+        per_cluster.groupBy("node_id")
+        .agg(
+            F.max(F.when(F.col("_own"), F.col("_mean"))).alias("_a"),
+            F.min(F.when(~F.col("_own"), F.col("_mean"))).alias("_b"),
+        )
+        .select(
+            "node_id",
+            ((F.col("_b") - F.col("_a")) / F.greatest(F.col("_a"), F.col("_b"))).alias(
+                "silhouette"
+            ),
+        )
+    )
+    avg = scores.agg(F.avg("silhouette").alias("avg")).collect()[0]["avg"]
+    pts.unpersist()
+    return SilhouetteResult(scores=scores, average_silhouette=float(avg) if avg is not None else float("nan"))

@@ -37,6 +37,9 @@ class KnnResult:
     neighbors: DataFrame  # (node1 long, node2 long, similarity double, rank int)
     ran_iterations: int
     did_converge: bool
+    # Populated only when track_filtered is given: per-source top-k over the
+    # target-filtered candidate stream (FilteredKnn's TargetNodeFiltering).
+    filtered_neighbors: DataFrame | None = None
 
 
 def _cosine(a, b):
@@ -56,6 +59,7 @@ def knn(
     random_seed: int = 42,
     explore: int = 0,
     min_iterations: int = 0,
+    track_filtered: tuple | None = None,
 ) -> KnnResult:
     """``explore``: fresh seeded-random candidate partners per node per
     iteration (the reference's randomJoins/sampling analog,
@@ -63,7 +67,15 @@ def knn(
     closure can plateau at; 0 keeps the classic closure only.
     ``min_iterations``: don't declare convergence before this many rounds —
     with exploration on, a single quiet round only means THIS round's
-    random draws found nothing, not that the search is exhausted."""
+    random draws found nothing, not that the search is exhausted.
+
+    ``track_filtered``: optional ``(source_ids, target_ids, seed_pairs)``
+    — id frames (col ``node_id``) + optional pre-scored (a, b) seed pairs.
+    Every candidate pair SCORED during the descent whose source/target
+    pass the filters also feeds a separate per-source filtered top-k
+    (the reference's TargetNodeFiltering side-channel,
+    ``similarity/filteredknn/ExistingTargetNodeFiltering.java``); the
+    accumulated lists come back as ``filtered_neighbors``."""
     df = nodes.select(
         F.col(id_col).cast("long").alias("node_id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
@@ -93,11 +105,13 @@ def knn(
     va = df.select(F.col("node_id").alias("a"), F.col("vec").alias("va"))
     vb = df.select(F.col("node_id").alias("b"), F.col("vec").alias("vb"))
 
-    def topk(pairs: DataFrame) -> DataFrame:
-        scored = (
+    def score(pairs: DataFrame) -> DataFrame:
+        return (
             pairs.join(va, "a").join(vb, "b")
             .select("a", "b", _cosine(F.col("va"), F.col("vb")).alias("similarity"))
         )
+
+    def rankk(scored: DataFrame) -> DataFrame:
         w = Window.partitionBy("a").orderBy(F.desc("similarity"), F.asc("b"))
         return (
             scored.withColumn("rank", F.row_number().over(w))
@@ -105,11 +119,44 @@ def knn(
             .select("a", "b", "similarity", "rank")
         )
 
+    def topk(pairs: DataFrame) -> DataFrame:
+        return rankk(score(pairs))
+
+    acc = None
+    if track_filtered is not None:
+        f_src, f_tgt, seed_pairs = track_filtered
+        f_src = f_src.select(F.col(f_src.columns[0]).cast("long").alias("a"))
+        f_tgt = f_tgt.select(F.col(f_tgt.columns[0]).cast("long").alias("b"))
+
+        def facc(scored: DataFrame, prev: DataFrame | None) -> DataFrame:
+            # The explicit select matters: a USING semi join moves its key
+            # column FIRST, so after the join on "b" the frame reads
+            # (b, a, similarity) — and union is positional.
+            flt = (
+                scored.join(f_src, "a", "semi")
+                .join(f_tgt, "b", "semi")
+                .select("a", "b", "similarity")
+            )
+            if prev is not None:
+                flt = prev.select("a", "b", "similarity").union(flt)
+            dedup = flt.groupBy("a", "b").agg(F.max("similarity").alias("similarity"))
+            return rankk(dedup)
+
+        if seed_pairs is not None:
+            acc = materialize_roundtrip(
+                facc(score(seed_pairs.select("a", "b")), None), tag="knnf", keep_last=2
+            )
+
     # Round-trip per round: the candidate generation references `cur` three
     # times (forward, reverse, wedge join) — see
     # pregel.superstep.materialize_roundtrip for why plain persist unrolls
     # the analyzer tree exponentially across rounds.
-    cur = materialize_roundtrip(topk(init), tag="knn", keep_last=2)
+    if track_filtered is not None:
+        init_sc = materialize_roundtrip(score(init), tag="knns", keep_last=1)
+        cur = materialize_roundtrip(rankk(init_sc), tag="knn", keep_last=2)
+        acc = materialize_roundtrip(facc(init_sc, acc), tag="knnf", keep_last=2)
+    else:
+        cur = materialize_roundtrip(topk(init), tag="knn", keep_last=2)
     converged = False
     it = 0
     for it in range(1, max_iterations + 1):
@@ -142,7 +189,12 @@ def knn(
             )
             cand = cand.union(fresh)
         cand = cand.distinct()
-        new = materialize_roundtrip(topk(cand), tag="knn", keep_last=2)
+        if track_filtered is not None:
+            sc = materialize_roundtrip(score(cand), tag="knns", keep_last=1)
+            new = materialize_roundtrip(rankk(sc), tag="knn", keep_last=2)
+            acc = materialize_roundtrip(facc(sc, acc), tag="knnf", keep_last=2)
+        else:
+            new = materialize_roundtrip(topk(cand), tag="knn", keep_last=2)
         changed = (
             new.select("a", "b")
             .join(cur.select("a", "b"), ["a", "b"], "left_anti")
@@ -159,4 +211,123 @@ def knn(
         neighbors=cur.select(F.col("a").alias("node1"), F.col("b").alias("node2"), "similarity", "rank"),
         ran_iterations=it,
         did_converge=converged,
+        filtered_neighbors=(
+            None
+            if acc is None
+            else acc.select(
+                F.col("a").alias("node1"), F.col("b").alias("node2"), "similarity", "rank"
+            )
+        ),
     )
+
+
+@dataclass
+class FilteredKnnResult:
+    neighbors: DataFrame  # (node1, node2, similarity, rank) — filtered
+    ran_iterations: int
+    did_converge: bool
+    seeded_optimally: bool
+
+
+def filtered_knn(
+    nodes: DataFrame,
+    k: int = 5,
+    id_col: str = "node_id",
+    vec_col: str = "embedding",
+    source_filter=None,
+    target_filter=None,
+    similarity_cutoff: float = 0.0,
+    seeding: bool = False,
+    **knn_kwargs,
+) -> FilteredKnnResult:
+    """Filtered KNN (reference ``similarity/filteredknn/FilteredKnn.java:48``):
+    ordinary NN-descent KNN, but the result only contains pairs whose
+    source passes ``source_filter`` and whose neighbor passes
+    ``target_filter`` (Column predicates over the node frame; None = all).
+
+    Mirrors the reference's two paths:
+
+    - ``seeding=True`` and ``|targets| <= k``: seeding alone provably
+      fills every filtered list (``seededOptimally``,
+      ``FilteredKnn.compute()``) — the descent is skipped entirely and the
+      result is the EXACT scoring of sources x targets (a broadcast cross
+      join; |targets| <= k makes the target side tiny by definition).
+    - otherwise: run the full NN-descent and accumulate every scored
+      candidate that passes the filters into per-source top-k lists
+      (``TargetNodeFiltering``); with ``seeding``, each source's list is
+      pre-seeded with k deterministic pseudo-random targets
+      (``createWithDefaultSeeding``).
+
+    ``similarity_cutoff``: drop result pairs below it
+    (``FilteredKnnBaseConfig.similarityCutoff``).
+    """
+    base = nodes.select(
+        F.col(id_col).cast("long").alias("node_id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    src_ids = (base if source_filter is None else base.filter(source_filter)).select("node_id")
+    tgt = base if target_filter is None else base.filter(target_filter)
+    tgt_ids = tgt.select("node_id")
+
+    if seeding:
+        n_targets = tgt_ids.count()
+        if n_targets <= k:
+            # seededOptimally: exact by construction.
+            sv = base.join(src_ids, "node_id", "semi").select(
+                F.col("node_id").alias("node1"), F.col("vec").alias("va")
+            )
+            tv = tgt.select(F.col("node_id").alias("node2"), F.col("vec").alias("vb"))
+            scored = (
+                sv.crossJoin(F.broadcast(tv))
+                .filter(F.col("node1") != F.col("node2"))
+                .select("node1", "node2", _cosine(F.col("va"), F.col("vb")).alias("similarity"))
+            )
+            w = Window.partitionBy("node1").orderBy(F.desc("similarity"), F.asc("node2"))
+            out = (
+                scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("node1", "node2", "similarity", "rank")
+            )
+            if similarity_cutoff > 0:  # Knn.java:174 — only applied when > 0
+                out = out.filter(F.col("similarity") >= similarity_cutoff)
+            return FilteredKnnResult(out, 0, True, True)
+
+    seed_pairs = None
+    if seeding:
+        # k deterministic pseudo-random target partners per source, the
+        # seeded analog of the reference's uniform target seeding.
+        from graph_data_science_spark.graph.ids import dense_ids as _dense
+
+        seed = int(knn_kwargs.get("random_seed", 42))
+        tidx = _dense(tgt_ids.withColumnRenamed("node_id", "orig"), ["orig"]).select(
+            F.col("node_id").alias("pos"), "orig"
+        )
+        n_targets = tgt_ids.count()
+        reps = nodes.sparkSession.range(k).select(F.col("id").alias("_r"))
+        seed_pairs = (
+            src_ids.crossJoin(reps)
+            .select(
+                F.col("node_id").alias("a"),
+                F.pmod(
+                    F.xxhash64(F.lit(seed + 13), F.col("node_id"), F.col("_r")),
+                    F.lit(n_targets),
+                ).alias("pos"),
+            )
+            .join(tidx, "pos")
+            .filter(F.col("orig") != F.col("a"))
+            .select("a", F.col("orig").alias("b"))
+            .distinct()
+        )
+
+    res = knn(
+        base,
+        k=k,
+        id_col="node_id",
+        vec_col="vec",
+        track_filtered=(src_ids, tgt_ids, seed_pairs),
+        **knn_kwargs,
+    )
+    out = res.filtered_neighbors
+    if similarity_cutoff > 0:  # Knn.java:174 — only applied when > 0
+        out = out.filter(F.col("similarity") >= similarity_cutoff)
+    return FilteredKnnResult(out, res.ran_iterations, res.did_converge, False)

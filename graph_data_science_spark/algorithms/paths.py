@@ -130,6 +130,148 @@ def shortest_paths(
 
 
 @dataclass
+class AllShortestPathsResult:
+    distances: DataFrame  # (source_node long, target_node long, distance double)
+    ran_iterations: int
+    did_converge: bool
+    sampled: bool
+
+
+def all_shortest_paths(
+    graph: LinkGraph,
+    sources=None,
+    weighted: bool = True,
+    max_iterations: int | None = None,
+    exact_source_limit: int | None = None,
+    checkpoint_dir: str | None = None,
+    num_blocks: int | None = None,
+) -> AllShortestPathsResult:
+    """All-pairs shortest distances, streamed as (source, target, distance)
+    rows for reachable pairs (reference
+    ``algo/.../allshortestpaths/WeightedAllShortestPaths.java`` — a Dijkstra
+    per source — and ``MSBFSAllShortestPaths.java`` for ``weighted=False``).
+
+    Spark shape: ALL sources relax together in one (source, node)-keyed
+    frontier — the reference runs |V| sequential Dijkstras over a shared
+    CSR; here every relaxation round is ONE join of the pair frontier
+    against the cached, src-partitioned edge table plus one min-aggregate,
+    so the whole computation costs O(longest-path-hops) shuffles no matter
+    how many sources run (the MSBFS batching idea generalized past 64
+    lanes). State is O(|sources| * reachable) pair rows — exact all-pairs
+    is quadratic OUTPUT, so above ``exact_source_limit`` nodes the engine
+    auto-samples sources with a logged cap rather than melt down
+    (``guard_all_sources``); pass explicit ``sources`` to control it.
+    """
+    from graph_data_science_spark.algorithms.centrality_extra import (
+        DEFAULT_EXACT_SOURCE_LIMIT,
+        guard_all_sources,
+    )
+
+    spark = graph.edges.sparkSession
+    n = graph.with_node_count()
+    if max_iterations is None:
+        max_iterations = n + 1
+
+    if isinstance(sources, (list, tuple)):
+        sources = spark.createDataFrame(
+            [(int(s),) for s in sources], "node_id long"
+        )
+    src_frame, sampled = guard_all_sources(
+        graph,
+        sources,
+        "all_shortest_paths",
+        exact_source_limit=exact_source_limit or DEFAULT_EXACT_SOURCE_LIMIT,
+    )
+    if src_frame is None:
+        src_frame = graph.node_ids()
+
+    e = graph.edges if weighted else graph.edges.select("src", "dst", F.lit(1.0).alias("weight"))
+    prepped = prep_edges_sql(
+        e.select("src", "dst", F.col("weight").alias("norm_w")), num_partitions=num_blocks
+    )
+
+    loop = SuperstepLoop(
+        spark,
+        "asp",
+        checkpoint_dir,
+        lineage=edge_lineage(
+            graph.edges,
+            params={"algo": "asp", "weighted": weighted},
+            content_sample=checkpoint_dir is not None,
+        ),
+    )
+    n_sources = src_frame.count()
+    # State is (source, node, dist) pairs — worst case every source reaches
+    # every node, so predict the quadratic bound (the honest number the
+    # auto-sample guard exists to keep small).
+    loop.predict(node_count=n_sources * n, state_row_bytes=40)
+
+    dist = src_frame.select(
+        F.col("node_id").alias("source"),
+        F.col("node_id").alias("node"),
+        F.lit(0.0).alias("dist"),
+    )
+    dist = loop.commit(dist, 0, {"frontier": n_sources})
+    frontier = dist
+
+    converged = False
+    it = 0
+    for it in range(1, max_iterations + 1):
+        # The aliases break the shared lineage between dist and cand (both
+        # descend from the same committed frame) — without them Spark's
+        # ambiguous-self-join check rejects the merge condition.
+        cand = (
+            prepped.join(frontier, prepped["src"] == frontier["node"], "inner")
+            .groupBy("source", "dst")
+            .agg(F.min(F.col("dist") + F.col("norm_w")).alias("cand"))
+            .select(
+                F.col("source").alias("_csrc"),
+                F.col("dst").alias("_cdst"),
+                "cand",
+            )
+        )
+        merged = (
+            dist.join(
+                cand,
+                (dist["source"] == cand["_csrc"]) & (dist["node"] == cand["_cdst"]),
+                "full_outer",
+            )
+            .select(
+                F.coalesce(F.col("source"), F.col("_csrc")).alias("source"),
+                F.coalesce(F.col("node"), F.col("_cdst")).alias("node"),
+                F.least(F.col("dist"), F.col("cand")).alias("dist"),
+                (
+                    F.col("dist").isNull()
+                    | (F.col("cand").isNotNull() & (F.col("cand") < F.col("dist")))
+                ).alias("_improved"),
+            )
+        )
+        obs = Observation()
+        merged = merged.observe(
+            obs, F.sum(F.when(F.col("_improved"), 1).otherwise(0)).alias("improved")
+        )
+        new_dist = loop.commit(merged, it, {}, observation=obs)
+        improved = int(obs.get.get("improved") or 0)
+        frontier = new_dist.filter(F.col("_improved")).select("source", "node", "dist")
+        dist = new_dist.select("source", "node", "dist")
+        if improved == 0:
+            converged = True
+            break
+
+    prepped.unpersist()
+    return AllShortestPathsResult(
+        distances=dist.select(
+            F.col("source").alias("source_node"),
+            F.col("node").alias("target_node"),
+            F.col("dist").alias("distance"),
+        ),
+        ran_iterations=it,
+        did_converge=converged,
+        sampled=sampled,
+    )
+
+
+@dataclass
 class DijkstraResult:
     # (index long, source_node long, target_node long, total_cost double,
     #  node_ids array<long>, costs array<double>) — the reference's

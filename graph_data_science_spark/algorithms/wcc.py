@@ -261,3 +261,90 @@ def wcc_star(
         .select("node_id", F.coalesce(F.col("m"), F.col("node_id")).alias("component"))
     )
     return WccResult(components=components, ran_iterations=it, loop=loop)
+
+
+def wcc_sampled(
+    graph: LinkGraph,
+    threshold: float | None = None,
+    neighbor_rounds: int = 2,
+    max_iterations: int = 100,
+) -> WccResult:
+    """WCC via the reference's Afforest sampled strategy
+    (``wcc/SampledStrategy.java:47``, Sutton/Ben-Nun/Barak "Optimizing
+    Parallel Graph Connectivity Computation via Subgraph Sampling"):
+
+    1. *Sample*: union-find over only the first ``NEIGHBOR_ROUNDS = 2``
+       neighbors of every node (``SampledStrategy.NEIGHBOR_ROUNDS``) —
+       here the ``neighbor_rounds`` smallest neighbors per node, the
+       deterministic cluster-reproducible analog of "first k of the
+       adjacency cursor". On power-law graphs this alone assembles most
+       of the giant component at ~2|V| edge work.
+    2. *Skip the largest component*: the reference samples 1024 nodes to
+       find it, then skips its members' remaining adjacency. The shuffle
+       analog is CONTRACTION, which subsumes the skip exactly: every
+       remaining edge is mapped to (comp(src), comp(dst)) and self-loops
+       dropped — all edges internal to the giant component (or any
+       sampled component) vanish in that one map, not just the largest
+       one, so the follow-up runs on a component graph that is orders of
+       magnitude smaller.
+    3. *Link remaining*: full WCC on the contracted component graph;
+       final label = phase-3 component of the phase-1 component.
+
+    Reaches the identical union-by-min fixpoint as ``wcc()`` / GDS's CAS
+    DSS: phase-1 ids are component-minimum node ids, and union-by-min over
+    those minima yields the global minimum per merged component.
+    """
+    spark = graph.edges.sparkSession
+    from pyspark.sql import Window
+
+    e = graph.edges
+    if threshold is not None:
+        e = e.filter(F.col("weight") > threshold)
+    sym = e.select("src", "dst").union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    w = Window.partitionBy("src").orderBy("dst")
+    ranked = sym.withColumn("_r", F.row_number().over(w))
+    sampled = ranked.filter(F.col("_r") <= int(neighbor_rounds)).select(
+        "src", "dst", F.lit(1.0).alias("weight")
+    )
+
+    phase1 = wcc(
+        LinkGraph(edges=sampled, vertices=graph.node_ids(), node_count=graph.node_count),
+        max_iterations=max_iterations,
+    )
+    labels = phase1.components.persist()
+    labels.count()
+
+    # Contraction: remaining edges in component space; self-loops (edges
+    # internal to any sampled component — the giant one included) vanish.
+    rest = ranked.filter(F.col("_r") > int(neighbor_rounds)).select("src", "dst")
+    lsrc = labels.select(F.col("node_id").alias("src"), F.col("component").alias("c_src"))
+    ldst = labels.select(F.col("node_id").alias("dst"), F.col("component").alias("c_dst"))
+    contracted = (
+        rest.join(lsrc, "src")
+        .join(ldst, "dst")
+        .filter(F.col("c_src") != F.col("c_dst"))
+        .select(F.col("c_src").alias("src"), F.col("c_dst").alias("dst"))
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+    comp_nodes = labels.select(F.col("component").alias("node_id")).distinct()
+    phase3 = wcc(
+        LinkGraph(edges=contracted, vertices=comp_nodes, node_count=graph.node_count),
+        max_iterations=max_iterations,
+    )
+
+    comp_map = phase3.components.select(
+        F.col("node_id").alias("_c1"), F.col("component").alias("_final")
+    )
+    final = labels.join(comp_map, labels["component"] == comp_map["_c1"], "left").select(
+        "node_id",
+        F.coalesce(F.col("_final"), F.col("component")).alias("component"),
+    )
+    labels.unpersist()
+    return WccResult(
+        components=final,
+        ran_iterations=phase1.ran_iterations + phase3.ran_iterations,
+        loop=phase3.loop,
+    )

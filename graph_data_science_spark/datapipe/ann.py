@@ -176,21 +176,23 @@ def ivf_topk(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
     ).join(cells.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
 
-    # Rank each query's distance to every centroid (n_clusters literals),
-    # keep the n_probe nearest as probe cells.
+    # Rank each query's distance to every centroid via ONE broadcast cross
+    # join against a k-row centroid table (was: an n_clusters-way union of
+    # per-centroid literal plans — fine at 16 cells, a 4k-branch plan at
+    # IVF-4096), keep the n_probe nearest as probe cells.
     qv = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
     )
-    probes = None
-    for j, cent in enumerate(km.centroids):
-        lit = F.array(*[F.lit(float(x)) for x in cent])
-        d = F.aggregate(
-            F.zip_with(F.col("qv"), lit, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        row = qv.select("query_id", "qv", F.lit(j).alias("cell"), d.alias("_d"))
-        probes = row if probes is None else probes.union(row)
+    cent_df = corpus.sparkSession.createDataFrame(
+        [(j, [float(x) for x in c]) for j, c in enumerate(km.centroids)],
+        "cell int, cvec array<double>",
+    )
+    d = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    probes = qv.crossJoin(F.broadcast(cent_df)).select("query_id", "qv", "cell", d.alias("_d"))
     w = Window.partitionBy("query_id").orderBy(F.asc("_d"), F.asc("cell"))
     probed = (
         probes.withColumn("_r", F.row_number().over(w))

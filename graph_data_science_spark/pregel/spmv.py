@@ -32,6 +32,7 @@ Arrow batches.
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -134,14 +135,25 @@ def build_blocks(
 
 def prep_edges_sql(edges: DataFrame, num_partitions: int | None = None, weight_col: str = "norm_w") -> DataFrame:
     """One-time prep for the JVM-side message path: hash-partition the edge
-    table by src and cache it, so every superstep's state join co-locates on
-    the cached side and only the (much smaller) vertex state moves."""
+    table by src, SORT within partitions by src, and cache it.
+
+    The sort is the load-bearing part for superstep cost: the per-round
+    state join plans as a SortMergeJoin, and a cached relation advertises
+    its outputPartitioning AND outputOrdering — so a pre-sorted cache
+    satisfies both SMJ requirements and every superstep skips the
+    exchange *and* the O(|E| log |E|) sort on the edge side; only the
+    (much smaller) vertex state is exchanged + sorted per round. Unsorted,
+    Spark re-sorts the full edge table every superstep.
+    ``SPARK_GRAFT_SORT_EDGES=0`` restores the unsorted cache (A/B knob)."""
     spark = edges.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    prepped = edges.select("src", "dst", F.col(weight_col).cast("double").alias("norm_w")).repartition(
-        num_partitions, "src"
-    ).persist()
+    prepped = edges.select(
+        "src", "dst", F.col(weight_col).cast("double").alias("norm_w")
+    ).repartition(num_partitions, "src")
+    if os.environ.get("SPARK_GRAFT_SORT_EDGES", "1") == "1":
+        prepped = prepped.sortWithinPartitions("src")
+    prepped = prepped.persist()
     prepped.count()
     return prepped
 

@@ -727,6 +727,7 @@ def _merge_ext() -> None:
         queries_ext5,
         queries_ext6,
         queries_ext7,
+        queries_ext8,
     )
 
     for mod, qname, oname in (
@@ -737,6 +738,7 @@ def _merge_ext() -> None:
         (queries_ext5, "QUERIES_EXT5", "ORACLES_EXT5"),
         (queries_ext6, "QUERIES_EXT6", "ORACLES_EXT6"),
         (queries_ext7, "QUERIES_EXT7", "ORACLES_EXT7"),
+        (queries_ext8, "QUERIES_EXT8", "ORACLES_EXT8"),
     ):
         # When an ext module is imported FIRST (tools/tests), it imports this
         # module, whose end-of-module merge then sees the ext module only

@@ -1,0 +1,397 @@
+"""Round-3 driver-contract queries (batch 8): KGE link prediction,
+KMeans silhouette, weighted all-pairs shortest paths, filtered KNN.
+
+- ``kge_transe_embeddings`` / ``kge_distmult_embeddings``: reference
+  ``algorithms/machinelearning/TopKMapComputer.java:40`` with the TransE
+  (``DoubleEuclideanDistanceLinkScorer.java``, lower = better) and
+  DistMult (``DoubleDistMultLinkScorer.java``, higher = better) scorers;
+  8 query heads against the full 500-vector corpus, a deterministic
+  relationship-type embedding, and ring edges (i → (i+1) mod n) excluded
+  as existing links — the oracle replays the exact arithmetic in SQL.
+- ``silhouette_kmeans_acctbal``: reference
+  ``kmeans/SilhouetteTask.java:30`` — exact pairwise silhouette over the
+  converged 3-means clustering of customer balances (the same seeded
+  Lloyd replay as ``kmeans_acctbal``).
+- ``weighted_asp_supply_tree``: reference
+  ``allshortestpaths/WeightedAllShortestPaths.java`` — multi-source
+  weighted shortest distances over the supply forest from every region
+  root and nation node; the forest gives closed-form path costs.
+- ``filtered_knn_sources`` / ``filtered_knn_seeded_targets``: reference
+  ``similarity/filteredknn/FilteredKnn.java:48`` — the descent path with
+  a source filter on the exact-convergence corpus, and the
+  ``seededOptimally`` shortcut (|targets| <= k) which is exact by
+  construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graph_data_science_spark.algorithms.kge import kge_predict
+from graph_data_science_spark.algorithms.kmeans import kmeans, silhouette
+from graph_data_science_spark.algorithms.knn import filtered_knn
+from graph_data_science_spark.algorithms.paths import all_shortest_paths
+from graph_data_science_spark.graph.build import LinkGraph
+from graph_data_science_spark.queries import _PHASE, _e, _t
+from graph_data_science_spark.queries_ext import _floor_e
+
+# --------------------------------------------------------------------------
+# KGE predict: deterministic relationship-type embedding + ring exclusions
+# --------------------------------------------------------------------------
+
+_KGE_DIM = 64
+_KGE_REL = [((j * 37 + 11) % 97) / 97.0 - 0.5 for j in range(_KGE_DIM)]
+# SQL replay of the same vector: 1-based i over UNNEST(range(1, 65)).
+_KGE_REL_SQL = "SELECT CAST(i AS BIGINT) AS i, ((CAST(i - 1 AS BIGINT) * 37 + 11) % 97) / 97.0 - 0.5 AS r FROM UNNEST(range(1, 65)) AS t(i)"
+
+
+def _kge_inputs(spark: SparkSession, sf_dir: str):
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    ring = emb.select(
+        F.col("vec_id").cast("long").alias("src"),
+        ((F.col("vec_id") + 1) % F.lit(int(n))).cast("long").alias("dst"),
+    )
+    return emb, ring
+
+
+def q_kge_transe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, ring = _kge_inputs(spark, sf_dir)
+    res = kge_predict(
+        emb,
+        _KGE_REL,
+        score_function="transe",
+        top_k=5,
+        id_col="vec_id",
+        vec_col="embedding",
+        source_filter=F.col("vec_id") < 8,
+        existing_edges=ring,
+    )
+    return res.predictions.select(
+        "source", "target", "rank", _e(F.col("score"), 4).alias("score_e4")
+    )
+
+
+def q_kge_distmult(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, ring = _kge_inputs(spark, sf_dir)
+    res = kge_predict(
+        emb,
+        _KGE_REL,
+        score_function="distmult",
+        top_k=5,
+        id_col="vec_id",
+        vec_col="embedding",
+        source_filter=F.col("vec_id") < 8,
+        existing_edges=ring,
+    )
+    return res.predictions.select(
+        "source", "target", "rank", _e(F.col("score"), 4).alias("score_e4")
+    )
+
+
+def _kge_sql(score_expr: str, order: str) -> str:
+    return f"""
+    WITH rel AS ({_KGE_REL_SQL}),
+    nn AS (SELECT COUNT(*) AS n FROM embeddings),
+    se AS MATERIALIZED (
+        SELECT e.vec_id, t.i, CAST(e.embedding[t.i] AS DOUBLE) AS h, rel.r
+        FROM embeddings e, UNNEST(range(1, len(e.embedding) + 1)) AS t(i)
+        JOIN rel ON rel.i = t.i
+        WHERE e.vec_id < 8
+    ),
+    te AS MATERIALIZED (
+        SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    scores AS (
+        SELECT se.vec_id AS source, te.vec_id AS target, {score_expr} AS score
+        FROM se JOIN te ON se.i = te.i AND se.vec_id <> te.vec_id
+        GROUP BY se.vec_id, te.vec_id
+    ),
+    cand AS (
+        SELECT s.* FROM scores s, nn
+        WHERE s.target <> (s.source + 1) % nn.n
+    ),
+    ranked AS (
+        SELECT source, target, score,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY score {order}, target ASC) AS rank
+        FROM cand
+    )
+    SELECT CAST(source AS BIGINT) AS source, CAST(target AS BIGINT) AS target,
+           CAST(rank AS INT) AS rank, {{score_e4}} AS score_e4
+    FROM ranked WHERE rank <= 5
+    """
+
+
+def _with_e4(sql: str) -> str:
+    return sql.format(score_e4=f"CAST(FLOOR(score * 1e4 + {_PHASE}) AS BIGINT)")
+
+
+Q_KGE_TRANSE_SQL = _with_e4(
+    _kge_sql("SQRT(SUM((se.h + se.r - te.x) * (se.h + se.r - te.x)))", "ASC")
+)
+Q_KGE_DISTMULT_SQL = _with_e4(_kge_sql("SUM(se.h * se.r * te.x)", "DESC"))
+
+
+# --------------------------------------------------------------------------
+# Silhouette over the converged seeded 3-means of customer balances
+# --------------------------------------------------------------------------
+
+_SIL_CENTS = [[0.0], [5000.0], [10000.0]]
+
+
+def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("node_id"),
+        F.array(F.col("c_acctbal").cast("double")).alias("embedding"),
+    )
+    km = kmeans(cust, k=3, seed_centroids=_SIL_CENTS, max_iterations=3, delta_threshold=0.0)
+    withc = cust.join(km.assignments.select("node_id", "community"), "node_id")
+    sil = silhouette(withc)
+    return sil.scores.select(
+        F.col("node_id").alias("c_custkey"), _e(F.col("silhouette"), 4).alias("sil_e4")
+    )
+
+
+def _silhouette_sql() -> str:
+    # Reuse the exact Lloyd replay the kmeans_acctbal oracle uses (same
+    # seeds, 3 assignment rounds), then the pairwise silhouette on a3.
+    from graph_data_science_spark.queries_ext2 import _km_assign_sql
+
+    return f"""
+    WITH pts AS MATERIALIZED (SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS x FROM customer),
+    {_km_assign_sql("pts", "0.0", "5000.0", "10000.0", "a1")},
+    m1 AS MATERIALIZED (
+        SELECT COALESCE(AVG(CASE WHEN community = 0 THEN x END), 0.0) AS c0,
+               COALESCE(AVG(CASE WHEN community = 1 THEN x END), 5000.0) AS c1,
+               COALESCE(AVG(CASE WHEN community = 2 THEN x END), 10000.0) AS c2
+        FROM a1
+    ),
+    {_km_assign_sql("pts, m1", "m1.c0", "m1.c1", "m1.c2", "a2")},
+    m2 AS MATERIALIZED (
+        SELECT COALESCE(AVG(CASE WHEN community = 0 THEN x END), (SELECT c0 FROM m1)) AS c0,
+               COALESCE(AVG(CASE WHEN community = 1 THEN x END), (SELECT c1 FROM m1)) AS c1,
+               COALESCE(AVG(CASE WHEN community = 2 THEN x END), (SELECT c2 FROM m1)) AS c2
+        FROM a2
+    ),
+    {_km_assign_sql("pts, m2", "m2.c0", "m2.c1", "m2.c2", "a3")},
+    sizes AS (SELECT community, COUNT(*) AS cnt FROM a3 GROUP BY community),
+    partials AS (
+        SELECT i.c_custkey, i.community, j.community AS ocomm, SUM(ABS(i.x - j.x)) AS s
+        FROM a3 i JOIN a3 j ON TRUE
+        GROUP BY i.c_custkey, i.community, j.community
+    ),
+    means AS (
+        SELECT p.c_custkey, p.community, p.ocomm,
+               CASE WHEN p.ocomm = p.community THEN p.s / (z.cnt - 1.0)
+                    ELSE p.s / z.cnt END AS m,
+               p.ocomm = p.community AS own
+        FROM partials p JOIN sizes z ON z.community = p.ocomm
+    ),
+    sil AS (
+        SELECT c_custkey,
+               MAX(CASE WHEN own THEN m END) AS a,
+               MIN(CASE WHEN NOT own THEN m END) AS b
+        FROM means GROUP BY c_custkey
+    )
+    SELECT c_custkey, {_floor_e("(b - a) / GREATEST(a, b)", 4)} AS sil_e4
+    FROM sil
+    """
+
+
+Q_SILHOUETTE_SQL = _silhouette_sql()
+
+
+# --------------------------------------------------------------------------
+# Weighted all-pairs shortest paths over the supply forest
+#   sources: every region root (0..4) and nation node (10..34); the graph
+#   is a forest, so each reachable pair has exactly one path and the
+#   distance is the closed-form sum of the hop weights.
+# --------------------------------------------------------------------------
+
+
+def q_weighted_asp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graph_data_science_spark.queries_ext import _supply_tree_graph
+
+    g = _supply_tree_graph(spark, sf_dir, weighted=True)
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    sources = region.select(F.col("r_regionkey").cast("long").alias("node_id")).union(
+        nation.select((10 + F.col("n_nationkey")).cast("long"))
+    )
+    res = all_shortest_paths(g, sources=sources, weighted=True)
+    return res.distances.select(
+        "source_node", "target_node", F.col("distance").cast("long").alias("distance")
+    )
+
+
+Q_WEIGHTED_ASP_SQL = """
+    WITH wn AS (SELECT n_nationkey, n_regionkey, 1 + n_nationkey % 3 AS w FROM nation),
+    wc AS (SELECT c_custkey, c_nationkey, 1 + c_custkey % 7 AS w FROM customer),
+    ws AS (SELECT s_suppkey, s_nationkey, 1 + s_suppkey % 5 AS w FROM supplier),
+    wo AS (SELECT o_orderkey, o_custkey, 1 + o_orderkey % 11 AS w FROM orders)
+    -- region sources
+    SELECT CAST(r_regionkey AS BIGINT) AS source_node, CAST(r_regionkey AS BIGINT) AS target_node, CAST(0 AS BIGINT) AS distance FROM region
+    UNION ALL SELECT n_regionkey, 10 + n_nationkey, w FROM wn
+    UNION ALL SELECT wn.n_regionkey, 50 + ws.s_suppkey, wn.w + ws.w
+      FROM ws JOIN wn ON wn.n_nationkey = ws.s_nationkey
+    UNION ALL SELECT wn.n_regionkey, 1000 + wc.c_custkey, wn.w + wc.w
+      FROM wc JOIN wn ON wn.n_nationkey = wc.c_nationkey
+    UNION ALL SELECT wn.n_regionkey, 10000 + wo.o_orderkey, wn.w + wc.w + wo.w
+      FROM wo JOIN wc ON wc.c_custkey = wo.o_custkey JOIN wn ON wn.n_nationkey = wc.c_nationkey
+    -- nation sources
+    UNION ALL SELECT 10 + n_nationkey, 10 + n_nationkey, 0 FROM nation
+    UNION ALL SELECT 10 + ws.s_nationkey, 50 + ws.s_suppkey, ws.w FROM ws
+    UNION ALL SELECT 10 + wc.c_nationkey, 1000 + wc.c_custkey, wc.w FROM wc
+    UNION ALL SELECT 10 + wc.c_nationkey, 10000 + wo.o_orderkey, wc.w + wo.w
+      FROM wo JOIN wc ON wc.c_custkey = wo.o_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Filtered KNN
+# --------------------------------------------------------------------------
+
+
+def q_filtered_knn_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Descent path with a source filter on the exact-convergence corpus
+    (same corpus/params as ``knn_embeddings``, whose NN-descent provably
+    reaches the exact kNN fixed point — the accumulated filtered lists for
+    sources therefore contain the exact top-k, since every exact pair was
+    scored during the descent). Targets unrestricted."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 40)
+    res = filtered_knn(
+        emb,
+        k=5,
+        id_col="vec_id",
+        vec_col="embedding",
+        source_filter=F.col("vec_id") < 15,
+        max_iterations=20,
+        min_iterations=20,
+        delta_threshold=0.0,
+        random_seed=3,
+        explore=6,
+    )
+    return res.neighbors.select(
+        "node1", "node2", "rank", _e(F.col("similarity"), 4).alias("sim_e4")
+    )
+
+
+Q_FILTERED_KNN_SOURCES_SQL = """
+    WITH sub AS (SELECT * FROM embeddings WHERE vec_id < 40),
+    ae AS MATERIALIZED (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+           FROM sub, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+    nrm AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM ae GROUP BY vec_id),
+    dots AS (
+        SELECT a.vec_id AS node1, b.vec_id AS node2, SUM(a.x * b.x) AS dot
+        FROM ae a JOIN ae b ON a.i = b.i AND a.vec_id <> b.vec_id
+        WHERE a.vec_id < 15
+        GROUP BY a.vec_id, b.vec_id
+    ),
+    sims AS (
+        SELECT node1, node2,
+               CASE WHEN na.nrm > 0 AND nb.nrm > 0 THEN dot / (na.nrm * nb.nrm) ELSE 0.0 END AS sim
+        FROM dots JOIN nrm na ON na.vec_id = node1 JOIN nrm nb ON nb.vec_id = node2
+    ),
+    ranked AS (
+        SELECT node1, node2, sim,
+               ROW_NUMBER() OVER (PARTITION BY node1 ORDER BY sim DESC, node2 ASC) AS rank
+        FROM sims
+    )
+    SELECT node1, node2, CAST(rank AS INT) AS rank,
+           CAST(FLOOR(sim * 1e4 + 0.3183098861837907) AS BIGINT) AS sim_e4
+    FROM ranked WHERE rank <= 5
+"""
+
+
+def q_filtered_knn_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """seededOptimally shortcut: |targets| = 5 = k, so seeding alone fills
+    every filtered list and the result is the exact scoring of
+    sources x targets (FilteredKnn.compute() skips the descent)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    res = filtered_knn(
+        emb,
+        k=5,
+        id_col="vec_id",
+        vec_col="embedding",
+        source_filter=F.col("vec_id") % 25 == 0,
+        target_filter=F.col("vec_id") >= 495,
+        seeding=True,
+    )
+    return res.neighbors.select(
+        "node1", "node2", "rank", _e(F.col("similarity"), 4).alias("sim_e4")
+    )
+
+
+Q_FILTERED_KNN_TARGETS_SQL = """
+    WITH se AS MATERIALIZED (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+           WHERE vec_id % 25 = 0),
+    te AS MATERIALIZED (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+           WHERE vec_id >= 495),
+    nrm_s AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM se GROUP BY vec_id),
+    nrm_t AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM te GROUP BY vec_id),
+    dots AS (
+        SELECT se.vec_id AS node1, te.vec_id AS node2, SUM(se.x * te.x) AS dot
+        FROM se JOIN te ON se.i = te.i AND se.vec_id <> te.vec_id
+        GROUP BY se.vec_id, te.vec_id
+    ),
+    sims AS (
+        SELECT node1, node2,
+               CASE WHEN ns.nrm > 0 AND nt.nrm > 0 THEN dot / (ns.nrm * nt.nrm) ELSE 0.0 END AS sim
+        FROM dots JOIN nrm_s ns ON ns.vec_id = node1 JOIN nrm_t nt ON nt.vec_id = node2
+    ),
+    ranked AS (
+        SELECT node1, node2, sim,
+               ROW_NUMBER() OVER (PARTITION BY node1 ORDER BY sim DESC, node2 ASC) AS rank
+        FROM sims
+    )
+    SELECT node1, node2, CAST(rank AS INT) AS rank,
+           CAST(FLOOR(sim * 1e4 + 0.3183098861837907) AS BIGINT) AS sim_e4
+    FROM ranked WHERE rank <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# Afforest sampled WCC — same order-chain fixpoint as wcc_order_chains
+# --------------------------------------------------------------------------
+
+
+def q_wcc_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference ``wcc/SampledStrategy.java:47`` (Afforest): sample-2
+    union-find, contract, finish on the component graph — must bit-match
+    the min-label-propagation oracle."""
+    from graph_data_science_spark.algorithms.wcc import wcc_sampled
+    from graph_data_science_spark.queries import _order_chain_graph, Q_WCC_SQL  # noqa: F401
+
+    g = _order_chain_graph(spark, sf_dir)
+    return wcc_sampled(g).components.select("node_id", "component")
+
+
+def _q_wcc_sql() -> str:
+    from graph_data_science_spark.queries import Q_WCC_SQL
+
+    return Q_WCC_SQL
+
+
+QUERIES_EXT8 = {
+    "kge_transe_embeddings": q_kge_transe,
+    "kge_distmult_embeddings": q_kge_distmult,
+    "silhouette_kmeans_acctbal": q_silhouette,
+    "weighted_asp_supply_tree": q_weighted_asp,
+    "filtered_knn_sources": q_filtered_knn_sources,
+    "filtered_knn_seeded_targets": q_filtered_knn_targets,
+    "wcc_afforest_order_chains": q_wcc_sampled,
+}
+
+ORACLES_EXT8 = {
+    "kge_transe_embeddings": Q_KGE_TRANSE_SQL,
+    "kge_distmult_embeddings": Q_KGE_DISTMULT_SQL,
+    "silhouette_kmeans_acctbal": Q_SILHOUETTE_SQL,
+    "weighted_asp_supply_tree": Q_WEIGHTED_ASP_SQL,
+    "filtered_knn_sources": Q_FILTERED_KNN_SOURCES_SQL,
+    "filtered_knn_seeded_targets": Q_FILTERED_KNN_TARGETS_SQL,
+    "wcc_afforest_order_chains": _q_wcc_sql(),
+}
