@@ -728,6 +728,7 @@ def _merge_ext() -> None:
         queries_ext6,
         queries_ext7,
         queries_ext8,
+        queries_ext9,
     )
 
     for mod, qname, oname in (
@@ -739,6 +740,7 @@ def _merge_ext() -> None:
         (queries_ext6, "QUERIES_EXT6", "ORACLES_EXT6"),
         (queries_ext7, "QUERIES_EXT7", "ORACLES_EXT7"),
         (queries_ext8, "QUERIES_EXT8", "ORACLES_EXT8"),
+        (queries_ext9, "QUERIES_EXT9", "ORACLES_EXT9"),
     ):
         # When an ext module is imported FIRST (tools/tests), it imports this
         # module, whose end-of-module merge then sees the ext module only
