@@ -32,7 +32,12 @@ from graph_data_science_spark.algorithms.paths import all_shortest_paths, astar,
 from graph_data_science_spark.algorithms.yens import yens
 from graph_data_science_spark.algorithms.scaling import scale_properties
 from graph_data_science_spark.algorithms.scc import scc
-from graph_data_science_spark.algorithms.similarity import filtered_node_similarity, node_similarity
+from graph_data_science_spark.algorithms.linkpred import link_prediction
+from graph_data_science_spark.algorithms.similarity import (
+    filtered_node_similarity,
+    node_similarity,
+    node_similarity_weighted,
+)
 from graph_data_science_spark.algorithms.sllpa import speaker_listener_lpa
 from graph_data_science_spark.algorithms.spanning import (
     k_spanning_tree,
@@ -74,6 +79,7 @@ __all__ = [
     "eigenvector",
     "fastrp",
     "filtered_node_similarity",
+    "link_prediction",
     "harmonic_centrality",
     "hits",
     "indirect_exposure",
@@ -98,6 +104,7 @@ __all__ = [
     "modularity_optimization",
     "msbfs_distances",
     "node_similarity",
+    "node_similarity_weighted",
     "pagerank",
     "random_walks",
     "scale_properties",

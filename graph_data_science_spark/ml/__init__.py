@@ -1,3 +1,4 @@
+from graph_data_science_spark.ml.encoding import one_hot_encoding
 from graph_data_science_spark.ml.logreg import LogisticRegressionModel, train_logistic_regression
 from graph_data_science_spark.ml.pipelines import (
     LinkPredictionResult,
@@ -12,5 +13,6 @@ __all__ = [
     "NodeClassificationResult",
     "link_prediction_pipeline",
     "node_classification_pipeline",
+    "one_hot_encoding",
     "train_logistic_regression",
 ]
