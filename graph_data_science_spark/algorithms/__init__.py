@@ -51,7 +51,7 @@ from graph_data_science_spark.algorithms.triangles import (
     triangle_count,
     triangle_listing,
 )
-from graph_data_science_spark.algorithms.walks import collapse_path, random_walks
+from graph_data_science_spark.algorithms.walks import collapse_path, random_walk_visit_counts, random_walks
 from graph_data_science_spark.algorithms.wcc import wcc, wcc_sampled, wcc_star
 
 __all__ = [
@@ -106,6 +106,7 @@ __all__ = [
     "node_similarity",
     "node_similarity_weighted",
     "pagerank",
+    "random_walk_visit_counts",
     "random_walks",
     "scale_properties",
     "scc",

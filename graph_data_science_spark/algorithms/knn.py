@@ -28,6 +28,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from graph_data_science_spark.functions import combined_similarity, knn_similarity
 from graph_data_science_spark.graph.ids import dense_ids
 from graph_data_science_spark.pregel.superstep import materialize_roundtrip
 
@@ -60,6 +61,8 @@ def knn(
     explore: int = 0,
     min_iterations: int = 0,
     track_filtered: tuple | None = None,
+    metric: str = "cosine",
+    properties: list | None = None,
 ) -> KnnResult:
     """``explore``: fresh seeded-random candidate partners per node per
     iteration (the reference's randomJoins/sampling analog,
@@ -75,10 +78,33 @@ def knn(
     pass the filters also feeds a separate per-source filtered top-k
     (the reference's TargetNodeFiltering side-channel,
     ``similarity/filteredknn/ExistingTargetNodeFiltering.java``); the
-    accumulated lists come back as ``filtered_neighbors``."""
+    accumulated lists come back as ``filtered_neighbors``.
+
+    ``metric``: similarity over ``vec_col`` — ``"cosine"`` (raw cosine,
+    zero-norm → 0; this engine's historical default — ranking-identical to
+    the reference's (cos+1)/2 since the map is monotone), or any
+    reference-exact KNN metric from :mod:`graph_data_science_spark.functions`:
+    ``"gds-cosine"`` ((cos+1)/2, ``metrics/Cosine.java:28-39``),
+    ``"euclidean"`` (1/(1+dist), ``Euclidean.java:28-40``), ``"pearson"``
+    ((r+1)/2, ``Pearson.java:26-44``), ``"jaccard"``/``"overlap"``
+    (id arrays), ``"absdiff"`` (scalar, 1/(1+|Δ|)).
+
+    ``properties``: list of ``(column, metric)`` for multi-property KNN —
+    the mean of the per-property safe similarities
+    (``metrics/CombinedSimilarityComputer.java:40-46``). Overrides
+    ``vec_col``/``metric``."""
+    props = properties if properties is not None else [(vec_col, metric)]
+
+    def _cast_for(m: str) -> str:
+        if m in ("jaccard", "overlap"):
+            return "array<long>"
+        if m == "absdiff":
+            return "double"
+        return "array<double>"
+
     df = nodes.select(
         F.col(id_col).cast("long").alias("node_id"),
-        F.col(vec_col).cast("array<double>").alias("vec"),
+        *[F.col(c).cast(_cast_for(m)).alias(f"p{i}") for i, (c, m) in enumerate(props)],
     ).persist()
     n = df.count()
     spark = df.sparkSession
@@ -102,13 +128,28 @@ def knn(
         .distinct()
     )
 
-    va = df.select(F.col("node_id").alias("a"), F.col("vec").alias("va"))
-    vb = df.select(F.col("node_id").alias("b"), F.col("vec").alias("vb"))
+    va = df.select(
+        F.col("node_id").alias("a"), *[F.col(f"p{i}").alias(f"pa{i}") for i in range(len(props))]
+    )
+    vb = df.select(
+        F.col("node_id").alias("b"), *[F.col(f"p{i}").alias(f"pb{i}") for i in range(len(props))]
+    )
+
+    def _sim_expr():
+        terms = [
+            (F.col(f"pa{i}"), F.col(f"pb{i}"), "cosine" if m == "gds-cosine" else m)
+            for i, (_, m) in enumerate(props)
+        ]
+        if len(terms) == 1 and props[0][1] == "cosine":
+            return _cosine(terms[0][0], terms[0][1])
+        if len(terms) == 1:
+            return knn_similarity(*terms[0])
+        return combined_similarity(terms)
 
     def score(pairs: DataFrame) -> DataFrame:
         return (
             pairs.join(va, "a").join(vb, "b")
-            .select("a", "b", _cosine(F.col("va"), F.col("vb")).alias("similarity"))
+            .select("a", "b", _sim_expr().alias("similarity"))
         )
 
     def rankk(scored: DataFrame) -> DataFrame:

@@ -109,3 +109,40 @@ def random_walks(
     out = out.localCheckpoint(eager=True)
     adj.unpersist()
     return out
+
+
+def random_walk_visit_counts(
+    graph: LinkGraph,
+    walks_per_node: int = 2,
+    walk_length: int = 5,
+    random_seed: int = 42,
+    start_nodes: DataFrame | None = None,
+    rng: str = "xxhash",
+) -> DataFrame:
+    """Per-node visit counts across all random walks (reference
+    ``algo/.../traversal/RandomWalkCountingNodeVisits.java:40`` — the
+    ``gds.randomWalk.stats`` mode, which tallies a HugeAtomicLongArray
+    instead of streaming the walks). Nodes never visited report 0, like
+    the reference's dense array.
+
+    Shape: the walk simulation is :func:`random_walks` (two joins per
+    step, no hub fan-out); the tally is ONE hash aggregation over the walk
+    rows plus a broadcast-friendly left join to restore zero-visit nodes —
+    at 100 TB the agg output is |V| rows, the cheap side.
+
+    Returns (node_id long, visits long)."""
+    walks = random_walks(
+        graph,
+        walks_per_node=walks_per_node,
+        walk_length=walk_length,
+        random_seed=random_seed,
+        start_nodes=start_nodes,
+        rng=rng,
+    )
+    counts = walks.groupBy("node_id").agg(F.count("*").alias("visits"))
+    return (
+        graph.node_ids()
+        .select(F.col("node_id"))
+        .join(counts, "node_id", "left")
+        .select("node_id", F.coalesce(F.col("visits"), F.lit(0)).cast("long").alias("visits"))
+    )
