@@ -731,6 +731,7 @@ def _merge_ext() -> None:
         queries_ext9,
         queries_ext10,
         queries_ext11,
+        queries_ext12,
     )
 
     for mod, qname, oname in (
@@ -745,6 +746,7 @@ def _merge_ext() -> None:
         (queries_ext9, "QUERIES_EXT9", "ORACLES_EXT9"),
         (queries_ext10, "QUERIES_EXT10", "ORACLES_EXT10"),
         (queries_ext11, "QUERIES_EXT11", "ORACLES_EXT11"),
+        (queries_ext12, "QUERIES_EXT12", "ORACLES_EXT12"),
     ):
         # When an ext module is imported FIRST (tools/tests), it imports this
         # module, whose end-of-module merge then sees the ext module only
