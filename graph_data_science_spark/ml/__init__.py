@@ -6,6 +6,9 @@ from graph_data_science_spark.ml.splitting import (
     split_relationships,
     stratified_kfold_split,
 )
+from graph_data_science_spark.ml.linreg import LinearRegressionModel, train_linear_regression
+from graph_data_science_spark.ml.mlp import MLPClassifierModel, train_mlp_classifier
+from graph_data_science_spark.ml.randomforest import RandomForestModel, train_random_forest
 from graph_data_science_spark.ml.logreg import LogisticRegressionModel, train_logistic_regression
 from graph_data_science_spark.ml.pipelines import (
     LinkPredictionResult,
@@ -20,11 +23,17 @@ __all__ = [
     "NodeClassificationResult",
     "link_prediction_pipeline",
     "node_classification_pipeline",
+    "LinearRegressionModel",
+    "MLPClassifierModel",
+    "RandomForestModel",
     "RelationshipSplit",
     "fraction_split",
     "negative_sample",
     "one_hot_encoding",
     "split_relationships",
+    "train_linear_regression",
+    "train_mlp_classifier",
+    "train_random_forest",
     "stratified_kfold_split",
     "train_logistic_regression",
 ]

@@ -732,6 +732,7 @@ def _merge_ext() -> None:
         queries_ext10,
         queries_ext11,
         queries_ext12,
+        queries_ext13,
     )
 
     for mod, qname, oname in (
@@ -747,6 +748,7 @@ def _merge_ext() -> None:
         (queries_ext10, "QUERIES_EXT10", "ORACLES_EXT10"),
         (queries_ext11, "QUERIES_EXT11", "ORACLES_EXT11"),
         (queries_ext12, "QUERIES_EXT12", "ORACLES_EXT12"),
+        (queries_ext13, "QUERIES_EXT13", "ORACLES_EXT13"),
     ):
         # When an ext module is imported FIRST (tools/tests), it imports this
         # module, whose end-of-module merge then sees the ext module only
