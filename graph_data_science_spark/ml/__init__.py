@@ -6,6 +6,13 @@ from graph_data_science_spark.ml.splitting import (
     split_relationships,
     stratified_kfold_split,
 )
+from graph_data_science_spark.ml.metrics import (
+    aucpr,
+    classification_metrics,
+    classification_summary,
+    confusion_stats,
+    regression_metrics,
+)
 from graph_data_science_spark.ml.linreg import LinearRegressionModel, train_linear_regression
 from graph_data_science_spark.ml.mlp import MLPClassifierModel, train_mlp_classifier
 from graph_data_science_spark.ml.randomforest import RandomForestModel, train_random_forest
@@ -34,6 +41,11 @@ __all__ = [
     "train_linear_regression",
     "train_mlp_classifier",
     "train_random_forest",
+    "aucpr",
+    "classification_metrics",
+    "classification_summary",
+    "confusion_stats",
+    "regression_metrics",
     "stratified_kfold_split",
     "train_logistic_regression",
 ]

@@ -1,0 +1,151 @@
+"""Evaluation metrics (reference ``ml/ml-algo/.../metrics/``:
+``classification/{Accuracy,GlobalAccuracy,Precision,Recall,F1Score,F1Macro,
+F1Weighted}.java``, ``regression/RegressionMetrics.java:33-80``,
+``LinkMetric.java:40-95`` — AUCPR).
+
+All metrics are single aggregations over a (target, prediction[, prob])
+frame — one shuffle on the class key for per-class metrics, one global agg
+for the rest. AUCPR builds the precision-recall curve with a cumulative
+window over DISTINCT thresholds (descending sweep, ties grouped — exactly
+the reference's signed-probability walk) and integrates trapezoids with a
+lag window; the curve has at most |distinct scores| points, so the sort is
+cheap even when the scored pairs table is 100 TB.
+
+Per-class F1 = 2TP/(2TP+FP+FN) (``F1Score.java``); macro = unweighted mean
+over the class set; weighted = Σ f1·support / Σ support (``F1Weighted``).
+Classes with zero denominator score 0, as the reference's division guard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def confusion_stats(
+    df: DataFrame, target_col: str = "target", prediction_col: str = "prediction"
+) -> DataFrame:
+    """(cls, tp, fp, fn, support) per class appearing in targets or
+    predictions."""
+    t = F.col(target_col)
+    p = F.col(prediction_col)
+    per_target = df.groupBy(t.alias("cls")).agg(
+        F.sum((p == t).cast("long")).alias("tp"),
+        F.sum((p != t).cast("long")).alias("fn"),
+        F.count("*").alias("support"),
+    )
+    per_pred = df.filter(p != t).groupBy(p.alias("cls")).agg(F.count("*").alias("fp"))
+    return (
+        per_target.join(per_pred, "cls", "outer")
+        .select(
+            "cls",
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+            F.coalesce("fp", F.lit(0)).alias("fp"),
+            F.coalesce("fn", F.lit(0)).alias("fn"),
+            F.coalesce("support", F.lit(0)).alias("support"),
+        )
+    )
+
+
+def classification_metrics(
+    df: DataFrame, target_col: str = "target", prediction_col: str = "prediction"
+) -> DataFrame:
+    """Per-class (cls, precision, recall, f1, support); zero-denominator
+    classes score 0 like the reference guards."""
+    stats = confusion_stats(df, target_col, prediction_col)
+    prec = F.when(F.col("tp") + F.col("fp") > 0, F.col("tp") / (F.col("tp") + F.col("fp"))).otherwise(0.0)
+    rec = F.when(F.col("tp") + F.col("fn") > 0, F.col("tp") / (F.col("tp") + F.col("fn"))).otherwise(0.0)
+    f1 = F.when(
+        2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+        2.0 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn")),
+    ).otherwise(0.0)
+    return stats.select(
+        "cls", prec.alias("precision"), rec.alias("recall"), f1.alias("f1"), "support"
+    )
+
+
+def classification_summary(
+    df: DataFrame, target_col: str = "target", prediction_col: str = "prediction"
+) -> dict:
+    """{accuracy, f1_macro, f1_weighted} — GlobalAccuracy / F1Macro /
+    F1Weighted."""
+    per = classification_metrics(df, target_col, prediction_col)
+    row = per.agg(
+        F.avg("f1").alias("f1_macro"),
+        (F.sum(F.col("f1") * F.col("support")) / F.sum("support")).alias("f1_weighted"),
+    ).collect()[0]
+    acc = df.agg(
+        F.avg((F.col(prediction_col) == F.col(target_col)).cast("double")).alias("a")
+    ).collect()[0]["a"]
+    return {
+        "accuracy": float(acc),
+        "f1_macro": float(row["f1_macro"]),
+        "f1_weighted": float(row["f1_weighted"]),
+    }
+
+
+def regression_metrics(
+    df: DataFrame, target_col: str = "target", prediction_col: str = "prediction"
+) -> DataFrame:
+    """One row: (mean_squared_error, root_mean_squared_error,
+    mean_absolute_error) — ``RegressionMetrics.java:33-80``."""
+    err = F.col(prediction_col) - F.col(target_col)
+    return df.agg(
+        F.avg(err * err).alias("mean_squared_error"),
+        F.sqrt(F.avg(err * err)).alias("root_mean_squared_error"),
+        F.avg(F.abs(err)).alias("mean_absolute_error"),
+    )
+
+
+def aucpr(
+    df: DataFrame,
+    probability_col: str = "probability",
+    label_col: str = "label",
+    negative_class_weight: float = 1.0,
+) -> float:
+    """Area under the precision-recall curve (``LinkMetric.AUCPR:40-95``):
+    sweep thresholds descending over DISTINCT scores (ties enter the curve
+    together, as the reference's signed-probability walk), precision =
+    TP / (TP + w·FP), recall = TP / P, close the curve at (0, 1), integrate
+    trapezoids. Returns 0 when there are no positives, per the reference."""
+    lbl = F.col(label_col).cast("double")
+    agg = (
+        df.groupBy(F.col(probability_col).alias("thr"))
+        .agg(
+            F.sum((lbl > 0).cast("long")).alias("pos"),
+            F.sum((lbl <= 0).cast("long")).alias("neg"),
+        )
+    )
+    w = Window.orderBy(F.desc("thr"))
+    curve = agg.select(
+        "thr",
+        F.sum("pos").over(w).alias("tp"),
+        F.sum("neg").over(w).alias("fp"),
+    )
+    totals = df.agg(
+        F.sum((lbl > 0).cast("long")).alias("p"), F.sum((lbl <= 0).cast("long")).alias("n")
+    ).collect()[0]
+    p_count = int(totals["p"] or 0)
+    if p_count == 0:
+        return 0.0
+    pts = curve.select(
+        (F.col("tp") / F.lit(float(p_count))).alias("recall"),
+        (
+            F.col("tp")
+            / (F.col("tp") + F.lit(float(negative_class_weight)) * F.col("fp"))
+        ).alias("precision"),
+    )
+    # prepend the closing point (recall 0, precision 1); trapezoid via lag
+    spark = df.sparkSession
+    pts = pts.union(spark.createDataFrame([(0.0, 1.0)], "recall double, precision double"))
+    wseq = Window.orderBy(F.asc("recall"), F.desc("precision"))
+    tz = pts.select(
+        "recall",
+        "precision",
+        F.lag("recall").over(wseq).alias("r0"),
+        F.lag("precision").over(wseq).alias("p0"),
+    ).filter(F.col("r0").isNotNull())
+    area = tz.agg(
+        F.sum((F.col("recall") - F.col("r0")) * (F.col("precision") + F.col("p0")) / 2.0)
+    ).collect()[0][0]
+    return float(area or 0.0)

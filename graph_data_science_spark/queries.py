@@ -733,6 +733,7 @@ def _merge_ext() -> None:
         queries_ext11,
         queries_ext12,
         queries_ext13,
+        queries_ext14,
     )
 
     for mod, qname, oname in (
@@ -749,6 +750,7 @@ def _merge_ext() -> None:
         (queries_ext11, "QUERIES_EXT11", "ORACLES_EXT11"),
         (queries_ext12, "QUERIES_EXT12", "ORACLES_EXT12"),
         (queries_ext13, "QUERIES_EXT13", "ORACLES_EXT13"),
+        (queries_ext14, "QUERIES_EXT14", "ORACLES_EXT14"),
     ):
         # When an ext module is imported FIRST (tools/tests), it imports this
         # module, whose end-of-module merge then sees the ext module only
