@@ -16,17 +16,18 @@ Spark execution: feature assembly is array algebra (``zip_with`` /
 sampling are PORTABLE hash decisions (xxhash64 of the node/edge key and
 seed — reproducible on any cluster size, unlike the reference's
 SplittableRandom shuffles which are thread-order-dependent); training is
-``ml.logreg`` full-batch GD. Model selection (GDS trains several
-candidate configs and picks by validation metric) reduces here to one
-explicit config — RandomForest/MLP model families are out of scope
-(decision-tree training is pointer-chasing-sequential per node split;
-the LR family is the reference's default and the one with a faithful
-distributed formulation).
+``ml.logreg`` full-batch GD. Model selection mirrors the reference's
+candidate loop (``pipeline/.../NodeClassificationTrain.java`` — each
+candidate config is cross-validated with ``StratifiedKFoldSplitter``,
+the best mean validation score wins, the winner retrains on the full
+train set): pass ``model_candidates`` dicts with ``method`` ∈
+{LogisticRegression, RandomForest, MLP} (the reference's three classifier
+families, ``ml/ml-algo/.../models/ClassifierTrainerFactory.java``).
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Callable
 
 from pyspark.sql import DataFrame
@@ -40,6 +41,84 @@ def _split_flag(key_cols: list, test_fraction: float, seed: int):
     """Deterministic test-set membership: portable hash in [0, 1)."""
     h = F.abs(F.xxhash64(*key_cols, F.lit(int(seed)))) % 1_000_000
     return h < int(test_fraction * 1_000_000)
+
+
+def _fit_model(train: DataFrame, label_col: str, feature_col: str, cand: dict, seed: int):
+    """Train one candidate config; returns (model, predict_fn) where
+    predict_fn(df) adds ``predicted`` (long) + ``probability`` (double of
+    the argmax class) regardless of the model family's native shape."""
+    method = cand.get("method", "LogisticRegression")
+    params = {k: v for k, v in cand.items() if k != "method"}
+    if method == "LogisticRegression":
+        m = train_logistic_regression(train, label_col, feature_col, **params)
+        return m, lambda df: m.predict(df, feature_col)
+    if method == "RandomForest":
+        from graph_data_science_spark.ml.randomforest import train_random_forest
+
+        params.setdefault("random_seed", seed)
+        m = train_random_forest(train, label_col=label_col, feature_col=feature_col, **params)
+
+        def rf_predict(df: DataFrame) -> DataFrame:
+            out = m.predict(df, features=feature_col)
+            return out.withColumnRenamed("prediction", "predicted").withColumn(
+                "probability", F.array_max("probabilities")
+            )
+
+        return m, rf_predict
+    if method == "MLP":
+        from graph_data_science_spark.ml.mlp import train_mlp_classifier
+
+        params.setdefault("random_seed", seed)
+        m = train_mlp_classifier(train, label_col=label_col, feature_col=feature_col, **params)
+
+        def mlp_predict(df: DataFrame) -> DataFrame:
+            out = m.predict(df, features=feature_col)
+            return out.withColumnRenamed("prediction", "predicted").withColumn(
+                "probability", F.array_max("probabilities")
+            )
+
+        return m, mlp_predict
+    raise ValueError(f"unknown model method {method!r}")
+
+
+def _select_and_train(
+    train: DataFrame,
+    label_col: str,
+    feature_col: str,
+    key_cols: list,
+    candidates: list,
+    validation_folds: int,
+    seed: int,
+):
+    """The reference's model-selection loop: stratified k-fold CV per
+    candidate on the TRAIN side only, best mean f1_macro wins (ties →
+    first candidate, like the reference's strict improvement), winner
+    retrains on all of train. Returns (model, predict_fn, stats)."""
+    if len(candidates) == 1 or validation_folds < 2:
+        m, pf = _fit_model(train, label_col, feature_col, candidates[0], seed)
+        return m, pf, [{"candidate": candidates[0], "mean_f1_macro": None}]
+
+    from graph_data_science_spark.ml.splitting import stratified_kfold_split
+
+    ordered = train.withColumn("_ord", F.xxhash64(*key_cols, F.lit(int(seed))))
+    folds = stratified_kfold_split(
+        ordered, k=validation_folds, target_col=label_col, order_col="_ord"
+    ).persist()
+    folds.count()
+    stats = []
+    for cand in candidates:
+        scores = []
+        for f in range(validation_folds):
+            tr = folds.filter(F.col("fold") != f).drop("fold", "_ord")
+            va = folds.filter(F.col("fold") == f).drop("fold", "_ord")
+            _, pf = _fit_model(tr, label_col, feature_col, cand, seed)
+            scores.append(_accuracy_f1(pf(va), label_col)["f1_macro"])
+        stats.append({"candidate": cand, "mean_f1_macro": sum(scores) / len(scores)})
+    folds.unpersist()
+    best = max(range(len(stats)), key=lambda i: stats[i]["mean_f1_macro"])
+    # strict-improvement tie-break: max() returns the FIRST argmax already
+    m, pf = _fit_model(train, label_col, feature_col, candidates[best], seed)
+    return m, pf, stats
 
 
 def _accuracy_f1(pred: DataFrame, label_col: str) -> dict:
@@ -70,9 +149,10 @@ def _accuracy_f1(pred: DataFrame, label_col: str) -> dict:
 
 @dataclass
 class NodeClassificationResult:
-    model: LogisticRegressionModel
+    model: object  # LogisticRegressionModel | RandomForestModel | MLPClassifierModel
     metrics: dict
     predictions: DataFrame  # (node_id, predicted, probability) over ALL input nodes
+    candidate_stats: list = field(default_factory=list)
 
 
 def node_classification_pipeline(
@@ -85,17 +165,39 @@ def node_classification_pipeline(
     learning_rate: float = 1.0,
     l2: float = 0.0,
     tolerance: float = 1e-6,
+    model_candidates: list | None = None,
+    validation_folds: int = 3,
 ) -> NodeClassificationResult:
-    """``features``: (node_id long, features array<double>, label long)."""
+    """``features``: (node_id long, features array<double>, label long).
+
+    ``model_candidates``: list of config dicts, each with ``method`` ∈
+    {LogisticRegression, RandomForest, MLP} plus that trainer's kwargs —
+    cross-validated with ``validation_folds`` stratified folds on the
+    train side, best mean f1_macro retrains on all of train (the
+    reference's selection loop). Default: one LogisticRegression built
+    from the scalar args (backward compatible)."""
+    if model_candidates is None:
+        model_candidates = [
+            {
+                "method": "LogisticRegression",
+                "max_epochs": max_epochs,
+                "learning_rate": learning_rate,
+                "l2": l2,
+                "tolerance": tolerance,
+            }
+        ]
     is_test = _split_flag([F.col("node_id")], test_fraction, seed)
     train = features.filter(~is_test)
     test = features.filter(is_test)
-    model = train_logistic_regression(
-        train, label_col, feature_col, max_epochs, learning_rate, l2, tolerance
+    model, predict_fn, stats = _select_and_train(
+        train, label_col, feature_col, [F.col("node_id")], model_candidates,
+        validation_folds, seed,
     )
-    metrics = _accuracy_f1(model.predict(test, feature_col), label_col)
-    preds = model.predict(features, feature_col).select("node_id", "predicted", "probability")
-    return NodeClassificationResult(model=model, metrics=metrics, predictions=preds)
+    metrics = _accuracy_f1(predict_fn(test), label_col)
+    preds = predict_fn(features).select("node_id", "predicted", "probability")
+    return NodeClassificationResult(
+        model=model, metrics=metrics, predictions=preds, candidate_stats=stats
+    )
 
 
 _LINK_FEATURES: dict[str, Callable] = {
@@ -133,15 +235,18 @@ def link_features(
 
 @dataclass
 class LinkPredictionResult:
-    model: LogisticRegressionModel
+    model: object  # LogisticRegressionModel | RandomForestModel | MLPClassifierModel
     metrics: dict
     feature_type: str
     node_features: DataFrame
+    candidate_stats: list = field(default_factory=list)
+    _predict_fn: Callable | None = None
 
     def predict(self, pairs: DataFrame) -> DataFrame:
         """(src, dst) → + predicted (1 = link), probability."""
         feats = link_features(pairs, self.node_features, self.feature_type)
-        return self.model.predict(feats).select("src", "dst", "predicted", "probability")
+        out = self._predict_fn(feats) if self._predict_fn is not None else self.model.predict(feats)
+        return out.select("src", "dst", "predicted", "probability")
 
 
 def link_prediction_pipeline(
@@ -155,6 +260,8 @@ def link_prediction_pipeline(
     learning_rate: float = 1.0,
     l2: float = 0.0,
     tolerance: float = 1e-6,
+    model_candidates: list | None = None,
+    validation_folds: int = 3,
 ) -> LinkPredictionResult:
     """Train link prediction on ``graph``'s edges as positives and
     hash-sampled non-edges as negatives (reference ``EdgeSplitter.java``
@@ -206,10 +313,22 @@ def link_prediction_pipeline(
     is_test = _split_flag([F.col("src"), F.col("dst")], test_fraction, seed)
     train = feats.filter(~is_test)
     test = feats.filter(is_test)
-    model = train_logistic_regression(
-        train, "label", "features", max_epochs, learning_rate, l2, tolerance
+    if model_candidates is None:
+        model_candidates = [
+            {
+                "method": "LogisticRegression",
+                "max_epochs": max_epochs,
+                "learning_rate": learning_rate,
+                "l2": l2,
+                "tolerance": tolerance,
+            }
+        ]
+    model, predict_fn, stats = _select_and_train(
+        train, "label", "features", [F.col("src"), F.col("dst")], model_candidates,
+        validation_folds, seed,
     )
-    metrics = _accuracy_f1(model.predict(test), "label")
+    metrics = _accuracy_f1(predict_fn(test), "label")
     return LinkPredictionResult(
-        model=model, metrics=metrics, feature_type=feature_type, node_features=node_features
+        model=model, metrics=metrics, feature_type=feature_type,
+        node_features=node_features, candidate_stats=stats, _predict_fn=predict_fn
     )

@@ -122,3 +122,25 @@ def test_random_forest_regression_mean_leaves(spark):
     out = m.predict(df)
     err = out.select(F.max(F.abs(F.col("prediction") - F.col("target")))).collect()[0][0]
     assert err < 2.0  # depth-5 tree on 20 points: near-exact piecewise fit
+
+
+def test_pipeline_model_candidates_selection(spark):
+    from graph_data_science_spark.ml.pipelines import node_classification_pipeline
+
+    df = _blob_df(spark, n=30).withColumn(
+        "node_id", F.monotonically_increasing_id()
+    )
+    res = node_classification_pipeline(
+        df,
+        model_candidates=[
+            {"method": "LogisticRegression", "max_epochs": 40, "learning_rate": 0.5},
+            {"method": "RandomForest", "number_of_trees": 5, "max_depth": 4,
+             "max_features_ratio": 1.0},
+        ],
+        validation_folds=2,
+        seed=3,
+    )
+    assert len(res.candidate_stats) == 2
+    assert all(s["mean_f1_macro"] is not None for s in res.candidate_stats)
+    assert res.metrics["accuracy"] > 0.8
+    assert res.predictions.count() == 90
