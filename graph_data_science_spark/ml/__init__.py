@@ -15,7 +15,11 @@ from graph_data_science_spark.ml.metrics import (
 )
 from graph_data_science_spark.ml.linreg import LinearRegressionModel, train_linear_regression
 from graph_data_science_spark.ml.mlp import MLPClassifierModel, train_mlp_classifier
-from graph_data_science_spark.ml.randomforest import RandomForestModel, train_random_forest
+from graph_data_science_spark.ml.randomforest import (
+    RandomForestModel,
+    out_of_bag_error,
+    train_random_forest,
+)
 from graph_data_science_spark.ml.logreg import LogisticRegressionModel, train_logistic_regression
 from graph_data_science_spark.ml.pipelines import (
     LinkPredictionResult,
@@ -45,6 +49,7 @@ __all__ = [
     "classification_metrics",
     "classification_summary",
     "confusion_stats",
+    "out_of_bag_error",
     "regression_metrics",
     "stratified_kfold_split",
     "train_logistic_regression",

@@ -44,7 +44,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -174,6 +174,34 @@ def _traverse(forest: dict, x: np.ndarray) -> np.ndarray:
     return out
 
 
+def _poisson_multiplicity(samples_ratio: float, random_seed: int):
+    """Poisson(samples_ratio) bootstrap multiplicity for a (tree, row)
+    pair via inverse-CDF on a seeded uniform hash — deterministic on any
+    cluster, re-derivable at evaluation time (OOB needs the w == 0 set).
+    Expects columns ``tree``, ``x``, ``y``. Tail beyond k = 6 (< 1e-4 at
+    λ ≤ 1.5) is clamped to 7."""
+    import math
+
+    u = (
+        F.pmod(
+            F.xxhash64(
+                F.lit(int(random_seed)), F.col("tree"), F.col("x").cast("string"), F.col("y")
+            ),
+            F.lit(1_000_003),
+        )
+        / F.lit(1_000_003.0)
+    )
+    lam = float(samples_ratio)
+    cdf, acc = [], 0.0
+    for k in range(7):
+        acc += math.exp(-lam) * lam**k / math.factorial(k)
+        cdf.append(acc)
+    mult = F.lit(7)
+    for k in range(6, -1, -1):
+        mult = F.when(u < F.lit(cdf[k]), F.lit(k)).otherwise(mult)
+    return mult.cast("double")
+
+
 @dataclass
 class RandomForestModel:
     trees: dict  # tree_id -> list of node tuples
@@ -261,25 +289,9 @@ def train_random_forest(
     trees = F.explode(F.sequence(F.lit(0), F.lit(number_of_trees - 1))).alias("tree")
     fanned = prep.select("x", "y", trees)
     if samples_ratio > 0:
-        # Poisson(samples_ratio) multiplicity via inverse-CDF on a seeded
-        # uniform hash of (tree, row) — deterministic on any cluster.
-        u = (
-            F.pmod(F.xxhash64(F.lit(int(random_seed)), F.col("tree"), F.col("x").cast("string"), F.col("y")), F.lit(1_000_003))
-            / F.lit(1_000_003.0)
-        )
-        lam = float(samples_ratio)
-        # inverse CDF for k = 0..6 (Poisson tail beyond 6 is < 1e-4 at λ≤1.5)
-        import math
-
-        cdf = []
-        acc = 0.0
-        for k in range(7):
-            acc += math.exp(-lam) * lam**k / math.factorial(k)
-            cdf.append(acc)
-        mult = F.lit(7)
-        for k in range(6, -1, -1):
-            mult = F.when(u < F.lit(cdf[k]), F.lit(k)).otherwise(mult)
-        fanned = fanned.withColumn("w", mult.cast("double")).filter(F.col("w") > 0)
+        fanned = fanned.withColumn(
+            "w", _poisson_multiplicity(samples_ratio, random_seed)
+        ).filter(F.col("w") > 0)
     else:
         fanned = fanned.withColumn("w", F.lit(1.0))
 
@@ -321,3 +333,77 @@ def train_random_forest(
     return RandomForestModel(
         trees=forest, n_classes=n_classes, classes=classes, regression=regression
     )
+
+
+def out_of_bag_error(
+    model: RandomForestModel,
+    df: DataFrame,
+    label_col: str = "label",
+    feature_col: str = "features",
+    samples_ratio: float = 1.0,
+    random_seed: int = 42,
+) -> float:
+    """OUT_OF_BAG_ERROR (``metrics/classification/OutOfBagError.java:33-80``):
+    for each training example, gather class votes from every tree whose
+    bootstrap did NOT sample it (multiplicity 0 — re-derived from the same
+    seeded Poisson draw the trainer used), take the majority (ties →
+    smallest class), and return mistakes / examples-with-any-OOB-vote
+    (0 when none, per the reference).
+
+    Distributed shape: one mapInPandas pass scores every row against all
+    trees at once (the vectorized ``_traverse``), one explode over the
+    w == 0 (row, tree) pairs, two hash aggregations. No driver loop."""
+    import pandas as pd
+
+    if model.regression or samples_ratio <= 0:
+        raise ValueError("OOB error needs a classification forest with samples_ratio > 0")
+    idx_map = {c: k for k, c in enumerate(model.classes)}
+    mapping = F.create_map(*[F.lit(v) for kv in idx_map.items() for v in kv])
+    rows = df.select(
+        F.col(feature_col).alias("x"),
+        mapping[F.col(label_col)].cast("double").alias("y"),
+    ).withColumn("rid", F.xxhash64(F.col("x").cast("string"), F.col("y")))
+
+    forest = model.trees
+    n_trees = len(forest)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array([np.asarray(v, dtype=np.float64) for v in pdf["x"]])
+            preds = _traverse(forest, x)
+            yield pd.DataFrame(
+                {"rid": pdf["rid"], "y": pdf["y"], "preds": [r.tolist() for r in preds]}
+            )
+
+    scored = (
+        rows.dropDuplicates(["rid"])
+        .mapInPandas(score, "rid long, y double, preds array<double>")
+    )
+
+    oob = (
+        rows.dropDuplicates(["rid"])
+        .select(
+            "rid",
+            F.explode(F.sequence(F.lit(0), F.lit(n_trees - 1))).alias("tree"),
+            "x",
+            "y",
+        )
+        .withColumn("w", _poisson_multiplicity(samples_ratio, random_seed))
+        .filter(F.col("w") == 0)
+        .select("rid", "tree")
+    )
+    votes = (
+        oob.join(scored, "rid")
+        .select("rid", "y", F.element_at("preds", F.col("tree") + 1).alias("cls"))
+        .groupBy("rid", "y", "cls")
+        .agg(F.count("*").alias("v"))
+    )
+    w = Window.partitionBy("rid").orderBy(F.desc("v"), F.asc("cls"))
+    top = votes.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") == 1)
+    agg = top.agg(
+        F.sum((F.col("cls") != F.col("y")).cast("long")).alias("mistakes"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    return float(agg["mistakes"]) / agg["n"] if agg["n"] else 0.0

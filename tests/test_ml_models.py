@@ -144,3 +144,23 @@ def test_pipeline_model_candidates_selection(spark):
     assert all(s["mean_f1_macro"] is not None for s in res.candidate_stats)
     assert res.metrics["accuracy"] > 0.8
     assert res.predictions.count() == 90
+
+
+def test_out_of_bag_error(spark):
+    from graph_data_science_spark.ml import out_of_bag_error
+
+    df = _blob_df(spark, n=40)
+    m = train_random_forest(
+        df, number_of_trees=8, max_depth=4, samples_ratio=1.0,
+        max_features_ratio=1.0, random_seed=7,
+    )
+    err = out_of_bag_error(
+        m, df, samples_ratio=1.0, random_seed=7
+    )
+    # well-separated blobs: OOB error should be small but is a real
+    # holdout estimate (not 0-by-construction like train accuracy)
+    assert 0.0 <= err < 0.2
+    # deterministic
+    assert err == out_of_bag_error(m, df, samples_ratio=1.0, random_seed=7)
+    with pytest.raises(ValueError):
+        out_of_bag_error(m, df, samples_ratio=0.0)
