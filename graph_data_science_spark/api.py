@@ -104,6 +104,104 @@ def _hits(graph: LinkGraph, **cfg) -> DataFrame:
     )
 
 
+
+
+def _leiden(graph: LinkGraph, **cfg) -> DataFrame:
+    from graph_data_science_spark.algorithms.louvain import leiden
+
+    return leiden(graph, **cfg).communities.select(
+        "node_id", F.col("community").alias("score")
+    )
+
+
+def _modularity_optimization(graph: LinkGraph, **cfg) -> DataFrame:
+    from graph_data_science_spark.algorithms.louvain import modularity_optimization
+
+    return modularity_optimization(graph, **cfg).communities.select(
+        "node_id", F.col("community").alias("score")
+    )
+
+
+def _scc(graph: LinkGraph, **cfg) -> DataFrame:
+    from graph_data_science_spark.algorithms.scc import scc
+
+    return scc(graph, **cfg).components.select("node_id", F.col("component").alias("score"))
+
+
+def _k1coloring(graph: LinkGraph, **cfg) -> DataFrame:
+    from graph_data_science_spark.algorithms.coloring import k1coloring
+
+    return k1coloring(graph, **cfg).colors.select("node_id", F.col("color").alias("score"))
+
+
+def _kcore(graph: LinkGraph, **cfg) -> DataFrame:
+    from graph_data_science_spark.algorithms.misc import k_core
+
+    return k_core(graph, **cfg).cores.select("node_id", F.col("core").alias("score"))
+
+
+def _sllpa(graph: LinkGraph, **cfg) -> DataFrame:
+    from graph_data_science_spark.algorithms.sllpa import speaker_listener_lpa
+
+    # overlapping memberships: score = primary community, plus the full set
+    res = speaker_listener_lpa(graph, **cfg).communities
+    return res.select(
+        "node_id", F.col("community_ids")[0].alias("score"), "community_ids"
+    )
+
+
+def _lcc(graph: LinkGraph, **cfg) -> DataFrame:
+    from graph_data_science_spark.algorithms.triangles import local_clustering_coefficient
+
+    out = local_clustering_coefficient(graph, **cfg)
+    # second column is the coefficient, whatever its alias
+    return out.select("node_id", F.col(out.columns[1]).alias("score"))
+
+
+def _fastrp(graph: LinkGraph, **cfg) -> DataFrame:
+    from graph_data_science_spark.algorithms.fastrp import fastrp
+
+    return fastrp(graph, **cfg).embeddings.select(
+        "node_id", F.col("embedding").alias("score")
+    )
+
+
+def _bfs(graph: LinkGraph, **cfg) -> DataFrame:
+    from graph_data_science_spark.algorithms.paths import bfs_levels
+
+    return bfs_levels(graph, **cfg).select("node_id", F.col("level").cast("double").alias("score"))
+
+
+def _sssp(graph: LinkGraph, **cfg) -> DataFrame:
+    from graph_data_science_spark.algorithms.paths import shortest_paths
+
+    return shortest_paths(graph, **cfg).distances.select(
+        "node_id", F.col("distance").alias("score")
+    )
+
+
+def _indirect_exposure(graph: LinkGraph, **cfg) -> DataFrame:
+    from graph_data_science_spark.algorithms.exposure import indirect_exposure
+
+    # `sanctioned`: list/iterable of seed node ids (procedure-config form)
+    seeds = cfg.pop("sanctioned")
+    if not isinstance(seeds, DataFrame):
+        seeds = graph.edges.sparkSession.createDataFrame(
+            [(int(v),) for v in seeds], "node_id long"
+        )
+    return indirect_exposure(graph, seeds, **cfg).select(
+        "node_id", F.col("exposure").alias("score")
+    )
+
+
+def _random_walk_counts(graph: LinkGraph, **cfg) -> DataFrame:
+    from graph_data_science_spark.algorithms.walks import random_walk_visit_counts
+
+    return random_walk_visit_counts(graph, **cfg).select(
+        "node_id", F.col("visits").cast("double").alias("score")
+    )
+
+
 ALGORITHMS: dict[str, Callable[..., DataFrame]] = {
     "pageRank": _pagerank,
     "articleRank": _article_rank,
@@ -117,6 +215,18 @@ ALGORITHMS: dict[str, Callable[..., DataFrame]] = {
     "closeness": _closeness,
     "harmonic": _harmonic,
     "hits": _hits,
+    "leiden": _leiden,
+    "modularityOptimization": _modularity_optimization,
+    "scc": _scc,
+    "k1coloring": _k1coloring,
+    "kcore": _kcore,
+    "sllpa": _sllpa,
+    "localClusteringCoefficient": _lcc,
+    "fastRP": _fastrp,
+    "bfs": _bfs,
+    "bellmanFord": _sssp,
+    "indirectExposure": _indirect_exposure,
+    "randomWalk.stats": _random_walk_counts,
 }
 
 

@@ -52,3 +52,21 @@ def test_write_mode(procs, tmp_path):
 def test_unknown_algorithm(procs):
     with pytest.raises(KeyError, match="unknown algorithm"):
         procs.stream("nope", "g")
+
+
+def test_widened_registry_streams(procs):
+    """Every round-3 facade entry streams a (node_id, score, ...) frame
+    over the catalog graph."""
+    for name in [
+        "leiden", "modularityOptimization", "scc", "k1coloring", "kcore",
+        "sllpa", "localClusteringCoefficient", "fastRP", "randomWalk.stats",
+    ]:
+        out = procs.stream(name, "g")
+        assert out.columns[0] == "node_id" and out.columns[1] == "score"
+        assert out.count() == 6, name
+
+
+def test_widened_registry_config_passthrough(procs):
+    assert procs.stream("bfs", "g", source=4).count() == 6
+    assert procs.stream("bellmanFord", "g", source=4).count() == 6
+    assert procs.stream("indirectExposure", "g", sanctioned=[1]).count() == 6
