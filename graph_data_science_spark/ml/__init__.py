@@ -22,6 +22,8 @@ from graph_data_science_spark.ml.randomforest import (
 )
 from graph_data_science_spark.ml.logreg import LogisticRegressionModel, train_logistic_regression
 from graph_data_science_spark.ml.pipelines import (
+    NodeRegressionResult,
+    node_regression_pipeline,
     LinkPredictionResult,
     NodeClassificationResult,
     link_prediction_pipeline,
@@ -32,6 +34,8 @@ __all__ = [
     "LinkPredictionResult",
     "LogisticRegressionModel",
     "NodeClassificationResult",
+    "NodeRegressionResult",
+    "node_regression_pipeline",
     "link_prediction_pipeline",
     "node_classification_pipeline",
     "LinearRegressionModel",

@@ -332,3 +332,96 @@ def link_prediction_pipeline(
         model=model, metrics=metrics, feature_type=feature_type,
         node_features=node_features, candidate_stats=stats, _predict_fn=predict_fn
     )
+
+
+@dataclass
+class NodeRegressionResult:
+    model: object  # LinearRegressionModel | RandomForestModel
+    metrics: dict  # test-side MSE / RMSE / MAE
+    predictions: DataFrame  # (node_id, prediction) over ALL input nodes
+    candidate_stats: list = field(default_factory=list)
+
+
+def _fit_regressor(train: DataFrame, target_col: str, feature_col: str, cand: dict, seed: int):
+    method = cand.get("method", "LinearRegression")
+    params = {k: v for k, v in cand.items() if k != "method"}
+    if method == "LinearRegression":
+        from graph_data_science_spark.ml.linreg import train_linear_regression
+
+        m = train_linear_regression(train, label_col=target_col, feature_col=feature_col, **params)
+        return m, lambda df: m.predict(df, features=feature_col)
+    if method == "RandomForest":
+        from graph_data_science_spark.ml.randomforest import train_random_forest
+
+        params.setdefault("random_seed", seed)
+        m = train_random_forest(
+            train, label_col=target_col, feature_col=feature_col, regression=True, **params
+        )
+        return m, lambda df: m.predict(df, features=feature_col)
+    raise ValueError(f"unknown regressor method {method!r}")
+
+
+def node_regression_pipeline(
+    features: DataFrame,
+    target_col: str = "target",
+    feature_col: str = "features",
+    test_fraction: float = 0.3,
+    seed: int = 42,
+    model_candidates: list | None = None,
+    validation_folds: int = 3,
+) -> NodeRegressionResult:
+    """Node regression pipeline (reference
+    ``pipeline/.../nodePipeline/regression/NodeRegressionTrain.java:64-233``
+    — candidate regressors cross-validated on RegressionMetrics, best
+    mean MSE retrains on full train, test metrics on the holdout).
+    Candidates: ``method`` ∈ {LinearRegression, RandomForest} (the
+    reference's two regressor families, ``RegressionTrainerFactory``).
+    Folds are plain mod-k over the seeded hash order (regression has no
+    class to stratify on)."""
+    from graph_data_science_spark.ml.metrics import regression_metrics
+
+    if model_candidates is None:
+        model_candidates = [{"method": "LinearRegression", "solver": "normal"}]
+    is_test = _split_flag([F.col("node_id")], test_fraction, seed)
+    train = features.filter(~is_test)
+    test = features.filter(is_test)
+
+    def _mse(pred: DataFrame) -> float:
+        row = regression_metrics(pred, target_col=target_col, prediction_col="prediction").collect()[0]
+        return float(row["mean_squared_error"])
+
+    stats = []
+    if len(model_candidates) > 1 and validation_folds >= 2:
+        fold = (
+            F.abs(F.xxhash64(F.col("node_id"), F.lit(int(seed) + 1))) % validation_folds
+        )
+        folded = train.withColumn("_fold", fold).persist()
+        folded.count()
+        for cand in model_candidates:
+            scores = []
+            for f in range(validation_folds):
+                tr = folded.filter(F.col("_fold") != f).drop("_fold")
+                va = folded.filter(F.col("_fold") == f).drop("_fold")
+                _, pf = _fit_regressor(tr, target_col, feature_col, cand, seed)
+                scores.append(_mse(pf(va)))
+            stats.append({"candidate": cand, "mean_mse": sum(scores) / len(scores)})
+        folded.unpersist()
+        best = min(range(len(stats)), key=lambda i: stats[i]["mean_mse"])
+        winner = model_candidates[best]
+    else:
+        winner = model_candidates[0]
+        stats = [{"candidate": winner, "mean_mse": None}]
+
+    model, predict_fn = _fit_regressor(train, target_col, feature_col, winner, seed)
+    test_row = regression_metrics(
+        predict_fn(test), target_col=target_col, prediction_col="prediction"
+    ).collect()[0]
+    metrics = {
+        "mean_squared_error": float(test_row["mean_squared_error"]),
+        "root_mean_squared_error": float(test_row["root_mean_squared_error"]),
+        "mean_absolute_error": float(test_row["mean_absolute_error"]),
+    }
+    preds = predict_fn(features).select("node_id", "prediction")
+    return NodeRegressionResult(
+        model=model, metrics=metrics, predictions=preds, candidate_stats=stats
+    )

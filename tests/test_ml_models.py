@@ -164,3 +164,28 @@ def test_out_of_bag_error(spark):
     assert err == out_of_bag_error(m, df, samples_ratio=1.0, random_seed=7)
     with pytest.raises(ValueError):
         out_of_bag_error(m, df, samples_ratio=0.0)
+
+
+def test_node_regression_pipeline_candidates(spark):
+    from graph_data_science_spark.ml import node_regression_pipeline
+
+    rng = np.random.default_rng(5)
+    x = rng.uniform(-1, 1, size=(120, 2))
+    y = 2.0 * x[:, 0] + 0.5 * x[:, 1] + 1.0
+    rows = [(i, x[i].tolist(), float(y[i])) for i in range(120)]
+    df = spark.createDataFrame(rows, "node_id long, features array<double>, target double")
+    res = node_regression_pipeline(
+        df,
+        model_candidates=[
+            {"method": "LinearRegression", "solver": "normal"},
+            {"method": "RandomForest", "number_of_trees": 3, "max_depth": 3,
+             "max_features_ratio": 1.0},
+        ],
+        validation_folds=2,
+        seed=9,
+    )
+    # exactly linear target → linreg must win the CV and fit near-exactly
+    assert res.candidate_stats[0]["mean_mse"] < res.candidate_stats[1]["mean_mse"]
+    assert isinstance(res.model.weights, list)
+    assert res.metrics["root_mean_squared_error"] < 1e-9
+    assert res.predictions.count() == 120
