@@ -142,3 +142,175 @@ def language_id_bigram(df: DataFrame, text_col: str = "text", id_col: str = "doc
             F.coalesce(F.col("lang_score"), F.lit(0)).cast("long").alias("lang_score"),
         )
     )
+
+
+# Gopher document-quality rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", §A1.1 — public paper).
+GOPHER_REQUIRED_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Gopher quality signals + the composite pass flag:
+
+    - ``word_count`` ∈ [50, 100000]
+    - ``mean_word_len`` ∈ [3, 10]
+    - ``symbol_word_ratio`` (# and non-overlapping ``...`` occurrences per
+      word) ≤ 0.1
+    - ``bullet_line_frac`` (lines starting with -, *, or •) ≤ 0.9
+    - ``ellipsis_line_frac`` (lines ending with ``...`` or ``…``) ≤ 0.3
+    - ``alpha_word_frac`` (words containing ≥1 [A-Za-z]) ≥ 0.8
+    - ``stopword_hits`` (distinct hits among the 8 required stop words,
+      lowercased) ≥ 2
+
+    One scan, pure column expressions (split/filter/size — codegen); the
+    thresholds are the published constants. Returns every signal so
+    downstream filters can re-threshold without a second scan."""
+    text = F.col(text_col)
+    words = tokens_col(text)
+    n_words = F.size(words)
+    mean_wl = F.when(
+        n_words > 0,
+        F.aggregate(words, F.lit(0.0), lambda a, w: a + F.length(w)) / n_words,
+    ).otherwise(F.lit(0.0))
+    hash_count = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    ellipsis_count = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / 3
+    symbol_ratio = F.when(n_words > 0, (hash_count + ellipsis_count) / n_words).otherwise(0.0)
+    lines = F.filter(F.split(text, "\n"), lambda l: F.length(F.trim(l)) > 0)
+    n_lines = F.size(lines)
+    bullet_frac = F.when(
+        n_lines > 0,
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.substring(F.ltrim(l), 1, 1).isin("-", "*", "•"),
+            )
+        )
+        / n_lines,
+    ).otherwise(0.0)
+    ellipsis_line_frac = F.when(
+        n_lines > 0,
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.rtrim(l).endswith("...") | F.rtrim(l).endswith("…"),
+            )
+        )
+        / n_lines,
+    ).otherwise(0.0)
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / n_words,
+    ).otherwise(0.0)
+    lower_words = F.transform(words, F.lower)
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_REQUIRED_STOPWORDS]),
+            lambda s: F.array_contains(lower_words, s),
+        )
+    )
+    passes = (
+        (n_words >= 50)
+        & (n_words <= 100_000)
+        & (mean_wl >= 3.0)
+        & (mean_wl <= 10.0)
+        & (symbol_ratio <= 0.1)
+        & (bullet_frac <= 0.9)
+        & (ellipsis_line_frac <= 0.3)
+        & (alpha_frac >= 0.8)
+        & (stop_hits >= 2)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("word_count"),
+        mean_wl.cast("double").alias("mean_word_len"),
+        symbol_ratio.cast("double").alias("symbol_word_ratio"),
+        bullet_frac.cast("double").alias("bullet_line_frac"),
+        ellipsis_line_frac.cast("double").alias("ellipsis_line_frac"),
+        alpha_frac.cast("double").alias("alpha_word_frac"),
+        stop_hits.cast("long").alias("stopword_hits"),
+        passes.cast("boolean").alias("gopher_pass"),
+    )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", ngram_ns: tuple = (2, 3)
+) -> DataFrame:
+    """Gopher repetition filters (§A1.1): duplicate-line fraction,
+    duplicate-line CHARACTER fraction (characters in occurrences beyond a
+    line's first, over total line characters), and per-n the character
+    fraction covered by the single most frequent word n-gram.
+
+    Shape: lines and n-grams are exploded once and aggregated per
+    (doc, key) — two hash shuffles keyed by doc_id, linear in corpus
+    tokens, no all-pairs anywhere. The most-frequent-gram tie-break is
+    (count desc, gram asc), deterministic across engines."""
+    text = F.col(text_col)
+    # no persist: each branch rescans the (columnar, pruned) source rather
+    # than pinning executor storage for the lifetime of a lazy result
+    base = df.select(F.col(id_col).alias("doc_id"), text.alias("_t"))
+
+    lines = base.select(
+        "doc_id", F.explode(F.filter(F.split(F.col("_t"), "\n"), lambda l: F.length(F.trim(l)) > 0)).alias("line")
+    )
+    per_line = lines.groupBy("doc_id", "line").agg(F.count("*").alias("cnt"))
+    line_stats = per_line.groupBy("doc_id").agg(
+        (1.0 - F.count("*") / F.sum("cnt")).alias("dup_line_frac"),
+        (
+            F.sum(F.when(F.col("cnt") > 1, (F.col("cnt") - 1) * F.length("line")).otherwise(0))
+            / F.sum(F.col("cnt") * F.length("line"))
+        ).alias("dup_line_char_frac"),
+    )
+
+    words = tokens_col(F.col("_t"))
+    out = base.select("doc_id")
+    from pyspark.sql import Window
+
+    for n in ngram_ns:
+        grams_arr = F.when(
+            F.size(words) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        grams = base.select("doc_id", F.explode(grams_arr).alias("gram"))
+        counts = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
+        w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("gram"))
+        top = (
+            counts.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select(
+                "doc_id",
+                (F.col("cnt") * F.length("gram")).alias(f"_topchars{n}"),
+            )
+        )
+        totals = grams.groupBy("doc_id").agg(F.sum(F.length("gram")).alias(f"_allchars{n}"))
+        frac = (
+            totals.join(top, "doc_id", "left")
+            .select(
+                "doc_id",
+                (
+                    F.coalesce(F.col(f"_topchars{n}"), F.lit(0))
+                    / F.col(f"_allchars{n}")
+                ).alias(f"top_{n}gram_char_frac"),
+            )
+        )
+        out = out.join(frac, "doc_id", "left")
+
+    result = (
+        out.join(line_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("dup_line_frac", F.lit(0.0)).alias("dup_line_frac"),
+            F.coalesce("dup_line_char_frac", F.lit(0.0)).alias("dup_line_char_frac"),
+            *[
+                F.coalesce(f"top_{n}gram_char_frac", F.lit(0.0)).alias(f"top_{n}gram_char_frac")
+                for n in ngram_ns
+            ],
+        )
+    )
+    return result

@@ -84,3 +84,39 @@ def test_language_id_bigram(spark):
     assert got[3] == ("unk", 0)
     assert got[4] == ("unk", 0)
     assert all(score >= 0 for _, score in got.values())
+
+
+def test_gopher_quality_hand_values(spark):
+    from graph_data_science_spark.datapipe.textstats import gopher_quality
+
+    good = ("the cat and that dog have fun to be of note with " * 10).strip()
+    docs = spark.createDataFrame(
+        [
+            (1, good),                      # passes everything
+            (2, "short text"),              # too few words
+            (3, "- a\n- b\n- c\n- d\nok"),  # 80% bullets, few words
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in gopher_quality(docs).collect()}
+    assert rows[1].gopher_pass and rows[1].word_count == 120
+    assert rows[1].stopword_hits == 8
+    assert not rows[2].gopher_pass and rows[2].word_count == 2
+    assert rows[3].bullet_line_frac == 0.8
+
+
+def test_repetition_signals_hand_values(spark):
+    from graph_data_science_spark.datapipe.textstats import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x\nx\nx\ny"),       # 2 distinct of 4 lines
+            (2, "a b a b a b a b c d"),  # top 2-gram "a b" = 4 of 9
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_signals(docs).collect()}
+    assert rows[1].dup_line_frac == pytest.approx(0.5)
+    # chars beyond first occurrence: 2 extra "x" of 4 total line chars
+    assert rows[1].dup_line_char_frac == pytest.approx(0.5)
+    assert rows[2].top_2gram_char_frac == pytest.approx(4 * 3 / 27)
