@@ -5,6 +5,7 @@ pre-tokenizations; the language ID against documents whose dominant
 bigrams are unambiguous for one profile.
 """
 
+import pytest
 import os
 import sys
 
