@@ -202,6 +202,248 @@ def _random_walk_counts(graph: LinkGraph, **cfg) -> DataFrame:
     )
 
 
+def _random_walk(graph: LinkGraph, **cfg) -> DataFrame:
+    from graph_data_science_spark.algorithms.walks import random_walks
+
+    return random_walks(graph, **cfg)
+
+
+def _dijkstra(graph: LinkGraph, **cfg) -> DataFrame:
+    from graph_data_science_spark.algorithms.paths import dijkstra
+
+    return dijkstra(graph, **cfg).paths
+
+
+def _delta_stepping(graph: LinkGraph, **cfg) -> DataFrame:
+    from graph_data_science_spark.algorithms.paths import shortest_paths
+
+    return shortest_paths(graph, **cfg).distances.select(
+        "node_id", F.col("distance").alias("score")
+    )
+
+
+def _astar(graph: LinkGraph, **cfg) -> DataFrame:
+    from graph_data_science_spark.algorithms.paths import astar
+
+    return astar(graph, **cfg).paths
+
+
+def _yens(graph: LinkGraph, **cfg) -> DataFrame:
+    from graph_data_science_spark.algorithms.yens import yens
+
+    return yens(graph, **cfg).paths
+
+
+def _all_shortest_paths(graph: LinkGraph, **cfg) -> DataFrame:
+    from graph_data_science_spark.algorithms.paths import all_shortest_paths
+
+    return all_shortest_paths(graph, **cfg).distances
+
+
+def _dfs(graph: LinkGraph, **cfg) -> DataFrame:
+    from graph_data_science_spark.algorithms.traverse import dfs
+
+    return dfs(graph, **cfg).select(
+        "node_id", F.col("visit_order").cast("double").alias("score")
+    )
+
+
+def _spanning_tree(graph: LinkGraph, **cfg) -> DataFrame:
+    from graph_data_science_spark.algorithms.spanning import spanning_tree
+
+    return spanning_tree(graph, **cfg).tree
+
+
+def _k_spanning_tree(graph: LinkGraph, **cfg) -> DataFrame:
+    from graph_data_science_spark.algorithms.spanning import k_spanning_tree
+
+    return k_spanning_tree(graph, **cfg).tree
+
+
+def _steiner_tree(graph: LinkGraph, **cfg) -> DataFrame:
+    from graph_data_science_spark.algorithms.spanning import steiner_tree_approx
+
+    return steiner_tree_approx(graph, **cfg).tree
+
+
+def _prize_steiner_tree(graph: LinkGraph, **cfg) -> DataFrame:
+    from graph_data_science_spark.algorithms.spanning import prize_steiner_tree
+
+    return prize_steiner_tree(graph, **cfg).tree
+
+
+def _topological_sort(graph: LinkGraph, **cfg) -> DataFrame:
+    from graph_data_science_spark.algorithms.misc import topological_sort
+
+    return topological_sort(graph, **cfg).order.select(
+        "node_id", F.col("level").cast("double").alias("score")
+    )
+
+
+def _longest_path(graph: LinkGraph, **cfg) -> DataFrame:
+    from graph_data_science_spark.algorithms.dag import dag_longest_path
+
+    return dag_longest_path(graph, **cfg).paths
+
+
+def _bridges(graph: LinkGraph, **cfg) -> DataFrame:
+    from graph_data_science_spark.algorithms.biconnectivity import bridges
+
+    return bridges(graph, **cfg)
+
+
+def _articulation_points(graph: LinkGraph, **cfg) -> DataFrame:
+    from graph_data_science_spark.algorithms.biconnectivity import articulation_points
+
+    return articulation_points(graph, **cfg)
+
+
+def _celf(graph: LinkGraph, **cfg) -> DataFrame:
+    from graph_data_science_spark.algorithms.celf import celf
+
+    return celf(graph, **cfg).seeds.select(
+        "node_id", F.col("spread").alias("score")
+    )
+
+
+def _max_k_cut(graph: LinkGraph, **cfg) -> DataFrame:
+    from graph_data_science_spark.algorithms.maxkcut import approx_max_k_cut
+
+    return approx_max_k_cut(graph, **cfg).assignments.select(
+        "node_id", F.col("community").cast("double").alias("score")
+    )
+
+
+def _conductance(graph: LinkGraph, assignment: DataFrame, **cfg) -> DataFrame:
+    from graph_data_science_spark.algorithms.misc import conductance
+
+    return conductance(graph, assignment, **cfg)
+
+
+def _modularity(graph: LinkGraph, assignment: DataFrame, **cfg) -> DataFrame:
+    from graph_data_science_spark.algorithms.misc import modularity
+
+    score = modularity(graph, assignment, **cfg)
+    return graph.edges.sparkSession.createDataFrame(
+        [(float(score),)], "modularity double"
+    )
+
+
+def _node_similarity(graph: LinkGraph, **cfg) -> DataFrame:
+    from graph_data_science_spark.algorithms.similarity import node_similarity
+
+    return node_similarity(graph, **cfg)
+
+
+def _node_similarity_weighted(graph: LinkGraph, **cfg) -> DataFrame:
+    from graph_data_science_spark.algorithms.similarity import node_similarity_weighted
+
+    return node_similarity_weighted(graph, **cfg)
+
+
+def _filtered_node_similarity(graph: LinkGraph, **cfg) -> DataFrame:
+    from graph_data_science_spark.algorithms.similarity import filtered_node_similarity
+
+    return filtered_node_similarity(graph, **cfg)
+
+
+def _vertex_frame(graph: LinkGraph) -> DataFrame:
+    if graph.vertices is None:
+        raise ValueError(
+            "this algorithm reads node properties; project the graph with a "
+            "vertices frame (gds.graph.project nodeProperties analog)"
+        )
+    return graph.vertices
+
+
+def _knn(graph: LinkGraph, **cfg) -> DataFrame:
+    from graph_data_science_spark.algorithms.knn import knn
+
+    return knn(_vertex_frame(graph), **cfg).neighbors
+
+
+def _filtered_knn(graph: LinkGraph, **cfg) -> DataFrame:
+    from graph_data_science_spark.algorithms.knn import filtered_knn
+
+    return filtered_knn(_vertex_frame(graph), **cfg).neighbors
+
+
+def _kmeans(graph: LinkGraph, **cfg) -> DataFrame:
+    from graph_data_science_spark.algorithms.kmeans import kmeans
+
+    return kmeans(_vertex_frame(graph), **cfg).assignments.select(
+        "node_id", F.col("community").cast("double").alias("score")
+    )
+
+
+def _kge(graph: LinkGraph, **cfg) -> DataFrame:
+    from graph_data_science_spark.algorithms.kge import kge_predict
+
+    return kge_predict(_vertex_frame(graph), **cfg).predictions
+
+
+def _scale_properties(graph: LinkGraph, **cfg) -> DataFrame:
+    from graph_data_science_spark.algorithms.scaling import scale_properties
+
+    return scale_properties(_vertex_frame(graph), **cfg)
+
+
+def _node2vec(graph: LinkGraph, **cfg) -> DataFrame:
+    from graph_data_science_spark.algorithms.node2vec import node2vec
+
+    return node2vec(graph, **cfg).embeddings.select(
+        "node_id", F.col("embedding").alias("score")
+    )
+
+
+def _graphsage(graph: LinkGraph, **cfg) -> DataFrame:
+    from graph_data_science_spark.algorithms.graphsage import graphsage
+
+    if "features" not in cfg:
+        cfg["features"] = _vertex_frame(graph)
+    return graphsage(graph, **cfg).embeddings.select(
+        "node_id", F.col("embedding").alias("score")
+    )
+
+
+def _hashgnn(graph: LinkGraph, **cfg) -> DataFrame:
+    from graph_data_science_spark.algorithms.hashgnn import hashgnn
+
+    return hashgnn(graph, **cfg).embeddings.select(
+        "node_id", F.col("features").alias("score")
+    )
+
+
+def _to_undirected(graph: LinkGraph, **cfg) -> DataFrame:
+    from graph_data_science_spark.graph.build import to_undirected
+
+    return to_undirected(graph.edges, **cfg)
+
+
+def _index_inverse(graph: LinkGraph, **cfg) -> DataFrame:
+    from graph_data_science_spark.graph.build import reverse_edges
+
+    return reverse_edges(graph.edges, **cfg)
+
+
+def _collapse_path(graph: LinkGraph, path_length: int = 2, **cfg) -> DataFrame:
+    from graph_data_science_spark.algorithms.walks import collapse_path
+
+    return collapse_path([graph.edges] * int(path_length), **cfg)
+
+
+def _triangles(graph: LinkGraph, **cfg) -> DataFrame:
+    from graph_data_science_spark.algorithms.triangles import triangle_listing
+
+    return triangle_listing(graph, **cfg)
+
+
+def _split_relationships(graph: LinkGraph, **cfg) -> DataFrame:
+    from graph_data_science_spark.ml.splitting import split_relationships
+
+    return split_relationships(graph, **cfg).selected
+
+
 ALGORITHMS: dict[str, Callable[..., DataFrame]] = {
     "pageRank": _pagerank,
     "articleRank": _article_rank,
@@ -227,6 +469,42 @@ ALGORITHMS: dict[str, Callable[..., DataFrame]] = {
     "bellmanFord": _sssp,
     "indirectExposure": _indirect_exposure,
     "randomWalk.stats": _random_walk_counts,
+    "randomWalk": _random_walk,
+    "dijkstra": _dijkstra,
+    "singleSourceDijkstra": _dijkstra,
+    "deltaStepping": _delta_stepping,
+    "astar": _astar,
+    "yens": _yens,
+    "allShortestPaths": _all_shortest_paths,
+    "dfs": _dfs,
+    "spanningTree": _spanning_tree,
+    "kSpanningTree": _k_spanning_tree,
+    "steinerTree": _steiner_tree,
+    "prizeCollectingSteinerTree": _prize_steiner_tree,
+    "topologicalSort": _topological_sort,
+    "longestPath": _longest_path,
+    "bridges": _bridges,
+    "articulationPoints": _articulation_points,
+    "influenceMaximization.celf": _celf,
+    "alpha.maxkcut": _max_k_cut,
+    "conductance": _conductance,
+    "modularity.metric": _modularity,
+    "nodeSimilarity": _node_similarity,
+    "nodeSimilarity.weighted": _node_similarity_weighted,
+    "nodeSimilarity.filtered": _filtered_node_similarity,
+    "knn": _knn,
+    "knn.filtered": _filtered_knn,
+    "kmeans": _kmeans,
+    "ml.kge.predict": _kge,
+    "scaleProperties": _scale_properties,
+    "node2vec": _node2vec,
+    "beta.graphSage": _graphsage,
+    "hashgnn": _hashgnn,
+    "graph.relationships.toUndirected": _to_undirected,
+    "graph.relationships.indexInverse": _index_inverse,
+    "collapsePath": _collapse_path,
+    "triangles": _triangles,
+    "graph.relationships.split": _split_relationships,
 }
 
 
@@ -251,28 +529,41 @@ class Procedures:
 
     def stats(self, algo: str, graph_name: str, **config) -> dict[str, Any]:
         """Summary statistics without materializing per-node rows to the
-        caller (gds.<algo>.stats)."""
+        caller (gds.<algo>.stats). Algorithms whose result shape is not a
+        numeric per-node ``score`` (path streams, tree edges, similarity
+        pairs, embeddings) get row-count-only stats — the reference's
+        per-shape stats (e.g. similarityDistribution) aggregate the same
+        stream."""
         result, wall = self._run(algo, graph_name, **config)
-        row = result.agg(
-            F.count("*").alias("nodeCount"),
-            F.min("score").alias("min"),
-            F.max("score").alias("max"),
-            F.avg("score").alias("mean"),
-            F.countDistinct("score").alias("distinct"),
-        ).collect()[0]
-        return {
-            "nodeCount": row["nodeCount"],
-            "min": row["min"],
-            "max": row["max"],
-            "mean": row["mean"],
-            "distinctValues": row["distinct"],
-            "computeSeconds": wall,
-        }
+        score_type = dict(result.dtypes).get("score")
+        if score_type in ("double", "float", "int", "bigint", "smallint", "tinyint"):
+            row = result.agg(
+                F.count("*").alias("nodeCount"),
+                F.min("score").alias("min"),
+                F.max("score").alias("max"),
+                F.avg("score").alias("mean"),
+                F.countDistinct("score").alias("distinct"),
+            ).collect()[0]
+            return {
+                "nodeCount": row["nodeCount"],
+                "min": row["min"],
+                "max": row["max"],
+                "mean": row["mean"],
+                "distinctValues": row["distinct"],
+                "computeSeconds": wall,
+            }
+        return {"rowCount": result.count(), "computeSeconds": wall}
 
     def mutate(self, algo: str, graph_name: str, mutate_property: str, **config) -> dict[str, Any]:
         """Attach the result as a vertex property of the catalog graph
         (gds.<algo>.mutate): later reads of the graph see the property."""
         result, wall = self._run(algo, graph_name, **config)
+        if "node_id" not in result.columns or "score" not in result.columns:
+            raise ValueError(
+                f"{algo!r} does not produce per-node (node_id, score) rows; "
+                "mutate mode applies only to node-property results — use "
+                "stream or write for path/pair/edge-shaped outputs"
+            )
         graph = self.catalog.get(graph_name)
         vertices = graph.vertices if graph.vertices is not None else graph.node_ids()
         # localCheckpoint every frame that will outlive the re-project: the
