@@ -109,6 +109,109 @@ def streaming_activity_windows(
     )
 
 
+def _duration_ms(spec: str) -> int:
+    """Parse 'N unit' durations ('30 minutes', '1 hour') to milliseconds."""
+    n, unit = spec.split()
+    factor = {
+        "millisecond": 1, "second": 1000, "minute": 60_000, "hour": 3_600_000,
+        "day": 86_400_000,
+    }[unit.rstrip("s")]
+    return int(n) * factor
+
+
+def streaming_conversation_sessions(
+    transcripts: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 second",
+) -> DataFrame:
+    """Custom stateful streaming operator: sessionize conversations with
+    ``applyInPandasWithState`` + event-time timeout.
+
+    A conversation's session stays open while turns keep arriving; once the
+    event-time watermark passes ``last_ts + gap`` the session closes and ONE
+    summary row streams out: (conv_id, session_start, session_end, n_turns,
+    n_tool_calls, max_turn_idx). State per key is a 5-field scalar tuple —
+    O(open conversations), bounded by the timeout, and the kernel is pandas
+    column ops over each Arrow batch (no per-row Python). This is the
+    north rule's "custom stateful operator" slot: session windows with a
+    per-key aggregate that built-in ``session_window`` can't carry (the
+    max-turn-index column participates in the per-turn text-equality
+    invariant join-back)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_ms = _duration_ms(gap)
+    out_schema = (
+        "conv_id string, session_start timestamp, session_end timestamp, "
+        "n_turns long, n_tool_calls long, max_turn_idx int"
+    )
+    state_schema = "start_ms long, last_ms long, n_turns long, n_tools long, max_idx int"
+
+    def sessionize(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            start_ms, last_ms, n_turns, n_tools, max_idx = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "conv_id": [key[0]],
+                    "session_start": [pd.to_datetime(start_ms, unit="ms")],
+                    "session_end": [pd.to_datetime(last_ms, unit="ms")],
+                    "n_turns": [n_turns],
+                    "n_tool_calls": [n_tools],
+                    "max_turn_idx": [max_idx],
+                }
+            )
+            return
+        start_ms = last_ms = None
+        n_turns = n_tools = 0
+        max_idx = -1
+        if state.exists:
+            start_ms, last_ms, n_turns, n_tools, max_idx = state.get
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            ts_ms = pdf["ts"].astype("int64") // 1_000_000
+            n_turns += len(pdf)
+            n_tools += int(pdf["tool"].notna().sum())
+            lo, hi = int(ts_ms.min()), int(ts_ms.max())
+            start_ms = lo if start_ms is None else min(start_ms, lo)
+            last_ms = hi if last_ms is None else max(last_ms, hi)
+            max_idx = max(max_idx, int(pdf["turn_idx"].max()))
+        if last_ms is not None:
+            state.update((start_ms, last_ms, n_turns, n_tools, max_idx))
+            state.setTimeoutTimestamp(last_ms + gap_ms)
+
+    return (
+        transcripts.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            sessionize, out_schema, state_schema, "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def streaming_dedup_exact(
+    documents: DataFrame,
+    content_col: str = "text",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival of each content digest,
+    dropping duplicates that land within the watermark horizon
+    (``dropDuplicatesWithinWatermark`` — JVM-side state store keyed by the
+    md5 digest, state evicted once the watermark passes, so memory is
+    bounded by the dup-arrival window rather than corpus size). The
+    streaming twin of ``datapipe/dedup.py``'s exact hash-groupBy."""
+    return (
+        documents.withColumn("_digest", F.md5(F.col(content_col).cast("binary")))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_digest"])
+        .drop("_digest")
+    )
+
+
 def run_incremental_pagerank(
     spark: SparkSession,
     transcript_stream: DataFrame,

@@ -119,3 +119,87 @@ def test_incremental_pagerank_foreachbatch(spark, tmp_path):
         .count()
     )
     assert diff == 0
+
+
+def _ts_rows(spark, rows):
+    """rows: (conv_id, turn_idx, tool, ts_string)."""
+    return spark.createDataFrame(
+        [(c, i, "user", f"text {c} {i}", t, ts) for (c, i, t, ts) in rows],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_stateful_sessionization(spark, tmp_path):
+    """applyInPandasWithState sessionizer: a conversation closes once the
+    event-time watermark passes last_ts + gap, emitting one summary row."""
+    from graph_data_science_spark.streaming.links import (
+        read_transcript_stream,
+        streaming_conversation_sessions,
+    )
+
+    inp = str(tmp_path / "sess_in")
+    # file 1: conv a (3 turns, one tool call) around 10:00
+    _ts_rows(spark, [
+        ("a", 0, None, "2024-01-01 10:00:00"),
+        ("a", 1, "search", "2024-01-01 10:01:00"),
+        ("a", 2, None, "2024-01-01 10:02:00"),
+    ]).coalesce(1).write.mode("append").parquet(inp)
+    # file 2 advances event time to 12:00; file 3 to 14:00 (watermark for the
+    # third micro-batch = 12:00 - 1s > 10:32 -> conv a times out and emits)
+    _ts_rows(spark, [("b", 0, None, "2024-01-01 12:00:00")]).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    _ts_rows(spark, [("c", 0, None, "2024-01-01 14:00:00")]).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+
+    stream = read_transcript_stream(spark, inp, max_files_per_trigger=1)
+    q = (
+        streaming_conversation_sessions(stream, gap="30 minutes", watermark="1 second")
+        .writeStream.format("memory")
+        .queryName("sess_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r["conv_id"]: r for r in spark.sql("SELECT * FROM sess_sink").collect()}
+    assert "a" in got, f"expected conv a session, got {sorted(got)}"
+    a = got["a"]
+    assert a["n_turns"] == 3
+    assert a["n_tool_calls"] == 1
+    assert a["max_turn_idx"] == 2
+    assert (a["session_end"] - a["session_start"]).total_seconds() == 120
+
+
+def test_streaming_dedup_exact(spark, tmp_path):
+    from graph_data_science_spark.streaming.links import streaming_dedup_exact
+
+    inp = str(tmp_path / "dedup_in")
+    _ts_rows(spark, [
+        ("d1", 0, None, "2024-01-01 10:00:00"),
+        ("d2", 0, None, "2024-01-01 10:00:30"),
+    ]).withColumn("text", F.lit("same body")).coalesce(1).write.mode("append").parquet(inp)
+    _ts_rows(spark, [
+        ("d3", 0, None, "2024-01-01 10:01:00"),  # dup of the same body
+        ("d4", 0, None, "2024-01-01 10:02:00"),
+    ]).withColumn(
+        "text", F.when(F.col("conv_id") == "d3", "same body").otherwise("unique body")
+    ).coalesce(1).write.mode("append").parquet(inp)
+
+    stream = spark.readStream.schema(
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    ).option("maxFilesPerTrigger", "1").parquet(inp)
+    q = (
+        streaming_dedup_exact(stream, content_col="text", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    kept = [r["conv_id"] for r in spark.sql("SELECT conv_id FROM dedup_sink").collect()]
+    # one survivor for "same body" (first arrival) + the unique doc
+    assert sorted(kept) == ["d1", "d4"] or sorted(kept) == ["d2", "d4"]
+    assert "_digest" not in spark.sql("SELECT * FROM dedup_sink").columns
