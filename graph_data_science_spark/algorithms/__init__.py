@@ -21,7 +21,7 @@ from graph_data_science_spark.algorithms.biconnectivity import (
 )
 from graph_data_science_spark.algorithms.celf import celf
 from graph_data_science_spark.algorithms.dag import dag_longest_path
-from graph_data_science_spark.algorithms.graphsage import graphsage, identity_weights
+from graph_data_science_spark.algorithms.graphsage import graphsage, graphsage_train, identity_weights
 from graph_data_science_spark.algorithms.maxkcut import approx_max_k_cut
 from graph_data_science_spark.algorithms.misc import conductance, k_core, modularity, topological_sort
 from graph_data_science_spark.algorithms.traverse import dfs
@@ -62,6 +62,7 @@ __all__ = [
     "dag_longest_path",
     "celf",
     "graphsage",
+    "graphsage_train",
     "identity_weights",
     "article_rank",
     "astar",

@@ -406,6 +406,16 @@ def _graphsage(graph: LinkGraph, **cfg) -> DataFrame:
     )
 
 
+def _graphsage_train(graph: LinkGraph, **cfg) -> DataFrame:
+    from graph_data_science_spark.algorithms.graphsage import graphsage_train
+
+    if "features" not in cfg:
+        cfg["features"] = _vertex_frame(graph)
+    return graphsage_train(graph, **cfg).embeddings.select(
+        "node_id", F.col("embedding").alias("score")
+    )
+
+
 def _hashgnn(graph: LinkGraph, **cfg) -> DataFrame:
     from graph_data_science_spark.algorithms.hashgnn import hashgnn
 
@@ -499,6 +509,7 @@ ALGORITHMS: dict[str, Callable[..., DataFrame]] = {
     "scaleProperties": _scale_properties,
     "node2vec": _node2vec,
     "beta.graphSage": _graphsage,
+    "beta.graphSage.train": _graphsage_train,
     "hashgnn": _hashgnn,
     "graph.relationships.toUndirected": _to_undirected,
     "graph.relationships.indexInverse": _index_inverse,

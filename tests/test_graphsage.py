@@ -81,3 +81,72 @@ def test_bad_activation(spark):
     g, feats = _fixture(spark)
     with pytest.raises(ValueError):
         graphsage(g, feats, identity_weights(2), activation="tanh")
+
+
+def _two_clique_fixture(spark):
+    """Two 4-cliques (0-3, 4-7) with opposed features, no inter-edges."""
+    pairs = []
+    for base in (0, 4):
+        for i in range(4):
+            for j in range(4):
+                if i != j:
+                    pairs.append((base + i, base + j, 1.0))
+    edges = spark.createDataFrame(pairs, "src long, dst long, weight double")
+    feats = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.1 * i] if i < 4 else [0.0, 1.0, 0.1 * i]) for i in range(8)],
+        "node_id long, features array<double>",
+    )
+    from graph_data_science_spark.graph.build import LinkGraph
+    return LinkGraph(edges=edges, node_count=8), feats
+
+
+def test_graphsage_train_learns_and_is_deterministic(spark):
+    from graph_data_science_spark.algorithms.graphsage import graphsage_train
+
+    g, feats = _two_clique_fixture(spark)
+    res = graphsage_train(
+        g, feats, embedding_dim=4, sample_sizes=[3], epochs=8,
+        learning_rate=0.1, search_depth=2, negative_sample_weight=5,
+        random_seed=7, tolerance=0.0,
+    )
+    assert res.ran_steps == 8
+    assert len(res.losses) == 8
+    # the loss improves over training (GraphSageLoss minimized)
+    assert min(res.losses[4:]) < res.losses[0]
+    emb = {r["node_id"]: list(r["embedding"]) for r in res.embeddings.collect()}
+    assert len(emb) == 8 and len(emb[0]) == 4
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+        return num / den if den else 0.0
+
+    intra = [cos(emb[i], emb[j]) for i in range(4) for j in range(4) if i < j]
+    inter = [cos(emb[i], emb[j]) for i in range(4) for j in range(4, 8)]
+    assert sum(intra) / len(intra) > sum(inter) / len(inter)
+
+    # deterministic: identical seed => identical weights bit-for-bit
+    res2 = graphsage_train(
+        g, feats, embedding_dim=4, sample_sizes=[3], epochs=8,
+        learning_rate=0.1, search_depth=2, negative_sample_weight=5,
+        random_seed=7, tolerance=0.0,
+    )
+    assert res2.weights == res.weights
+    assert res2.losses == pytest.approx(res.losses)
+
+
+def test_graphsage_train_two_layers_and_convergence(spark):
+    from graph_data_science_spark.algorithms.graphsage import graphsage_train
+
+    g, feats = _two_clique_fixture(spark)
+    res = graphsage_train(
+        g, feats, embedding_dim=3, sample_sizes=[3, 2], epochs=30,
+        learning_rate=0.05, search_depth=1, negative_sample_weight=2,
+        random_seed=11, tolerance=0.5,
+    )
+    # loose tolerance => the |Δloss| early-stop triggers before 30 steps
+    assert res.did_converge
+    assert res.ran_steps < 30
+    assert len(res.weights) == 2
+    assert len(res.weights[0]) == 3 and len(res.weights[0][0]) == 3
+    assert res.embeddings.count() == 8
