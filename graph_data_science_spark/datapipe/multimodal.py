@@ -113,6 +113,90 @@ def decode_images(assets: DataFrame, codec: str = "fake", feat_dim: int = 8) -> 
     return assets.mapInPandas(decode, DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = "asset_id long, width int, height int, pixels array<float>"
+
+
+def resize_images(
+    assets: DataFrame, target_w: int = 8, target_h: int = 8, codec: str = "fake"
+) -> DataFrame:
+    """Arrow-batched nearest-neighbor resize to (target_h, target_w).
+
+    The resample itself — build the source-index grid once per batch, one
+    vectorized fancy-index gather per image matrix — is the REAL kernel a
+    PIL/torchvision decode would feed; only the pixel source is stubbed
+    (``fake``: the payload byte matrix tiled to each asset's declared
+    (height, width), since the container ships no codec libraries).
+    Output pixels are row-major float32 in [0, 1].
+    """
+    if codec != "fake":
+        raise NotImplementedError(
+            f"codec {codec!r} requires image libraries not present in this environment"
+        )
+    tw, th = int(target_w), int(target_h)
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pyarrow as pa
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame({"asset_id": [], "width": [], "height": [], "pixels": []})
+                continue
+            # One broadcast index expression for the whole batch — the same
+            # Arrow values-buffer/offsets gather as decode_images, no
+            # per-image (let alone per-pixel) Python. Source pixel of
+            # output (y, x) for image i (payload tiled to (h_i, w_i)):
+            #   data[off_i + (⌊y·h_i/th⌋·w_i + ⌊x·w_i/tw⌋) mod len_i]
+            binarr = pa.array(pdf["payload"], type=pa.binary())
+            offsets = np.frombuffer(binarr.buffers()[1], dtype=np.int32)
+            offsets = offsets[binarr.offset : binarr.offset + n + 1].astype(np.int64)
+            databuf = binarr.buffers()[2]
+            data = (
+                np.frombuffer(databuf, dtype=np.uint8)
+                if databuf is not None
+                else np.zeros(1, dtype=np.uint8)
+            )
+            lens = offsets[1:] - offsets[:-1]
+            safe_lens = np.maximum(lens, 1)
+            widths = pdf["width"].to_numpy().astype(np.int64)
+            heights = pdf["height"].to_numpy().astype(np.int64)
+            ys = (np.arange(th, dtype=np.int64)[None, :] * heights[:, None]) // th  # (n, th)
+            xs = (np.arange(tw, dtype=np.int64)[None, :] * widths[:, None]) // tw  # (n, tw)
+            flat = (
+                ys[:, :, None] * widths[:, None, None] + xs[:, None, :]
+            ) % safe_lens[:, None, None]  # (n, th, tw)
+            gathered = data[
+                np.minimum(offsets[:-1, None, None] + flat, len(data) - 1)
+            ].astype(np.float32) / 255.0
+            gathered[lens == 0] = 0.0  # null/empty payloads decode to black
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": tw,
+                    "height": th,
+                    "pixels": list(gathered.reshape(n, th * tw)),
+                }
+            )
+
+    return assets.filter(F.col("kind") == "image").mapInPandas(resize, RESIZED_SCHEMA)
+
+
+def repartition_by_payload_budget(
+    assets: DataFrame, target_partition_bytes: int = 128 * 1024 * 1024
+) -> DataFrame:
+    """Size the partition COUNT by payload bytes, not row count — the skew
+    fix the module docstring promises: with hash spreading, each task's
+    expected payload volume is ~``target_partition_bytes`` even when asset
+    sizes span orders of magnitude (one agg + one hash repartition; at
+    100 TB this is what keeps a few giant videos from serializing a
+    stage). Rows stay hash-spread, so the odd giant lands beside small
+    assets rather than beside other giants."""
+    total = assets.agg(F.sum(F.length("payload")).alias("b")).collect()[0]["b"] or 0
+    n_parts = max(1, int(total / max(1, int(target_partition_bytes))) + 1)
+    return assets.repartition(n_parts, F.col("asset_id"))
+
+
 def sample_frames(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plan for video assets: one output row per sampled
     timestamp (pure Catalyst explode — the decode of each frame would slot

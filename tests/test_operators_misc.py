@@ -224,3 +224,48 @@ def test_multimodal_plumbing(spark):
     frames = sample_frames(assets, every_ms=10000)
     assert frames.count() > 0
     assert frames.filter(F.col("frame_ts_ms") % 10000 != 0).count() == 0
+
+
+def test_multimodal_resize_and_budget_partitioning(spark):
+    import numpy as np
+
+    from graph_data_science_spark.datapipe.multimodal import (
+        repartition_by_payload_budget,
+        resize_images,
+        synthesize_assets,
+    )
+
+    assets = synthesize_assets(spark, 40, seed=5)
+    out = resize_images(assets, target_w=4, target_h=3)
+    rows = {r["asset_id"]: r for r in out.collect()}
+    n_images = assets.filter("kind = 'image'").count()
+    assert len(rows) == n_images and n_images > 0
+    first = next(iter(rows.values()))
+    assert first["width"] == 4 and first["height"] == 3
+    assert len(first["pixels"]) == 12
+    assert all(0.0 <= v <= 1.0 for v in first["pixels"])
+
+    # NumPy reference: tiled payload, nearest-neighbor gather
+    ref_src = assets.filter("kind = 'image'").select(
+        "asset_id", "payload", "width", "height"
+    ).collect()
+    for r in ref_src[:5]:
+        raw = np.frombuffer(bytes(r["payload"]), dtype=np.uint8)
+        h, w = r["height"], r["width"]
+        ys = (np.arange(3) * h) // 3
+        xs = (np.arange(4) * w) // 4
+        idx = (ys[:, None] * w + xs[None, :]) % len(raw)
+        expect = (raw[idx].astype(np.float32) / 255.0).ravel()
+        got = np.array(rows[r["asset_id"]]["pixels"], dtype=np.float32)
+        assert np.allclose(got, expect), r["asset_id"]
+
+    # determinism
+    again = {r["asset_id"]: list(r["pixels"]) for r in resize_images(assets, 4, 3).collect()}
+    assert {k: list(v["pixels"]) for k, v in rows.items()} == again
+
+    # byte-budget partitioning: partition count follows total payload bytes
+    repart = repartition_by_payload_budget(assets, target_partition_bytes=256)
+    assert repart.rdd.getNumPartitions() > 1
+    assert repart.count() == 40
+    one = repartition_by_payload_budget(assets, target_partition_bytes=10**12)
+    assert one.rdd.getNumPartitions() == 1
