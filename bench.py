@@ -22,8 +22,10 @@ the number shows it (see BENCH/BASELINE.md). The scaling job is PageRank on
 a constant-work cycle variant of the transcript graph (every superstep
 touches every edge), 3 warmup + 4 measured supersteps, median of measured.
 
-Internal mode (used for the scaling runs):
-  python bench.py --scaling-run <cpus> <n_conv> <out_json>
+Internal mode (used for the scaling runs; the driver launches each level as
+a real ``spark-submit --master local[N] --py-files <zip>`` job — the north
+rule's deployment mechanism):
+  spark-submit --py-files gds_spark.zip bench.py --scaling-run <cpus> <n_conv> <out_json>
 """
 
 from __future__ import annotations
@@ -312,14 +314,39 @@ def main() -> None:
     # medians are recorded so the spread is visible in the artifact.
     scale_results = {}
     scale_attempts: dict[int, list] = {}
+    # Each level is a real `spark-submit --master local[N] --py-files <zip>`
+    # job — the north rule's deployment mechanism verbatim; on a cluster the
+    # same command line points --master at the 4N-executor resource manager.
+    # Driver memory and JVM options MUST ride the spark-submit command line
+    # (the JVM is up before any builder.config could apply): heap-per-core
+    # protocol as in scaling_run's docstring.
+    from tools.package_pyfiles import build as build_pyfiles_zip
+
+    pyfiles_zip = build_pyfiles_zip(os.path.join(work, "gds_spark.zip"))
+    spark_submit = shutil.which("spark-submit") or "spark-submit"
     for n in (2, 8, 32):
+        mem_gb = os.environ.get("SPARK_GRAFT_DRIVER_MEM") or f"{min(96, 4 + n)}g"
+        jvm_opts = (
+            f"-Xms{mem_gb} -XX:+AlwaysPreTouch -XX:G1HeapRegionSize=32m "
+            "-XX:MaxGCPauseMillis=200 -XX:+ParallelRefProcEnabled"
+        )
         attempts = []
         for attempt in range(2):
             out = os.path.join(work, f"scaling_{n}_{attempt}.json")
             env = dict(os.environ)
             env.pop("SPARK_GRAFT_MASTER", None)
+            env["SPARK_GRAFT_DRIVER_MEM"] = mem_gb
+            env.setdefault("PYSPARK_PYTHON", sys.executable)
             subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--scaling-run", str(n), str(SCALING_N_CONV), out],
+                [
+                    spark_submit,
+                    "--master", f"local[{n}]",
+                    "--driver-memory", mem_gb,
+                    "--conf", f"spark.driver.extraJavaOptions={jvm_opts}",
+                    "--py-files", pyfiles_zip,
+                    os.path.abspath(__file__),
+                    "--scaling-run", str(n), str(SCALING_N_CONV), out,
+                ],
                 check=True,
                 env=env,
                 cwd=REPO,
@@ -357,7 +384,8 @@ def main() -> None:
                 "scaling": {
                     "protocol": (
                         "constant-work cycle graph, 3 warmup + 4 measured "
-                        "supersteps, median; min-of-2 runs per level"
+                        "supersteps, median; min-of-2 runs per level; each "
+                        "run a spark-submit --master local[N] --py-files job"
                     ),
                     "attempt_medians_sec": {str(n): scale_attempts[n] for n in scale_attempts},
                     "edges": scale_results[8]["edges"],

@@ -735,6 +735,7 @@ def _merge_ext() -> None:
         queries_ext13,
         queries_ext14,
         queries_ext15,
+        queries_ext16,
     )
 
     for mod, qname, oname in (
@@ -753,6 +754,7 @@ def _merge_ext() -> None:
         (queries_ext13, "QUERIES_EXT13", "ORACLES_EXT13"),
         (queries_ext14, "QUERIES_EXT14", "ORACLES_EXT14"),
         (queries_ext15, "QUERIES_EXT15", "ORACLES_EXT15"),
+        (queries_ext16, "QUERIES_EXT16", "ORACLES_EXT16"),
     ):
         # When an ext module is imported FIRST (tools/tests), it imports this
         # module, whose end-of-module merge then sees the ext module only
