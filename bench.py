@@ -68,6 +68,31 @@ def _cpu_jiffies() -> tuple:
     return total, total - idle
 
 
+def _cpu_fields() -> list:
+    """Raw /proc/stat cpu-line jiffy fields (user nice system idle iowait
+    irq softirq steal ...)."""
+    with open("/proc/stat") as fh:
+        return [int(x) for x in fh.readline().split()[1:]]
+
+
+def _cpu_breakdown(before: list, after: list) -> dict:
+    """Machine-wide time fractions over the window. ``steal_frac`` > 0 is
+    direct evidence of hypervisor preemption (another tenant ran on our
+    vCPU); a high ``system_frac`` at high thread counts is kernel-side
+    contention inside the single JVM — both distinguish sandbox effects
+    from engine scaling."""
+    d = [a - b for a, b in zip(after, before)]
+    d += [0] * (8 - len(d))
+    total = sum(d) or 1
+    return {
+        "user_frac": round((d[0] + d[1]) / total, 4),
+        "system_frac": round((d[2] + d[5] + d[6]) / total, 4),
+        "idle_frac": round(d[3] / total, 4),
+        "iowait_frac": round(d[4] / total, 4),
+        "steal_frac": round(d[7] / total, 4),
+    }
+
+
 def _busy_cores(before: tuple, after: tuple) -> float:
     """Average busy cores machine-wide over the window (0..ncpus)."""
     dt = after[0] - before[0]
@@ -170,11 +195,13 @@ def scaling_run(cpus: int, n_conv: int, out_json: str) -> None:
         time.sleep(5)
     load_before = _loadavg()
     jiff_before = _cpu_jiffies()
+    fields_before = _cpu_fields()
     fuse = int(os.environ.get("SPARK_GRAFT_FUSE", "1"))
     res = pagerank(
         g, tolerance=0.0, max_iterations=SCALING_WARMUP + SCALING_MEASURED + 1, fuse=fuse
     )
     jiff_after = _cpu_jiffies()
+    fields_after = _cpu_fields()
     measured = res.superstep_walls[SCALING_WARMUP:]
     med = statistics.median(measured)
     busy = _busy_cores(jiff_before, jiff_after)
@@ -193,6 +220,12 @@ def scaling_run(cpus: int, n_conv: int, out_json: str) -> None:
                 # (cores are busy) while throughput/core falls.
                 "busy_cores_avg": busy,
                 "cpu_utilization_of_level": round(busy / cpus, 3),
+                # user/system/idle/iowait/steal fractions over the run
+                # window: steal_frac > 0 = hypervisor preemption (sandbox
+                # interference, not the engine); rising system_frac with
+                # cores = kernel contention in ONE JVM (which a real
+                # multi-executor N->4N cluster does not share).
+                "cpu_breakdown": _cpu_breakdown(fields_before, fields_after),
             },
             fh,
         )
@@ -404,6 +437,9 @@ def main() -> None:
                     },
                     "cpu_utilization_of_level": {
                         str(n): scale_results[n]["cpu_utilization_of_level"] for n in scale_results
+                    },
+                    "cpu_breakdown": {
+                        str(n): scale_results[n].get("cpu_breakdown") for n in scale_results
                     },
                     "loadavg": {
                         str(n): {

@@ -203,6 +203,93 @@ def lsh_candidate_pairs(
     return out
 
 
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Fuzzy-dedup clusters: MinHash-LSH near-dup pairs → connected
+    components (the engine's union-by-min WCC) → ``(id, cluster, keep)``.
+
+    ``cluster`` = the minimum doc id transitively reachable through
+    near-dup pairs (the canonical representative); ``keep`` = this doc IS
+    the representative. Filtering ``keep`` dedups the corpus while
+    retaining exactly one member per near-dup cluster — the standard
+    corpus-level fuzzy-dedup contract (pair-level near-dup alone cannot
+    decide which of A~B~C to keep).
+
+    Scale shape: the pair graph holds only LSH-collision survivors, so WCC
+    runs over a frame that is tiny relative to the corpus (vertices =
+    docs appearing in ≥1 pair); the only corpus-sized step is one left
+    join assigning ``cluster = id`` to untouched docs.
+    """
+    from graph_data_science_spark.algorithms.wcc import wcc
+    from graph_data_science_spark.graph.build import LinkGraph
+
+    pairs = lsh_candidate_pairs(df, id_col, text_col, num_perm, bands, n, threshold)
+    pair_ids = (
+        pairs.select(F.col("a").cast("long").alias("node_id"))
+        .union(pairs.select(F.col("b").cast("long").alias("node_id")))
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("a").cast("long").alias("src"),
+        F.col("b").cast("long").alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    comp = wcc(LinkGraph(edges=edges, vertices=pair_ids)).components
+    return (
+        df.select(F.col(id_col).cast("long").alias(id_col))
+        .distinct()
+        .join(comp.withColumnRenamed("node_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster"),
+            (F.coalesce(F.col("component"), F.col(id_col)) == F.col(id_col)).alias("keep"),
+        )
+    )
+
+
+def cross_contamination(
+    train: DataFrame,
+    holdout: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Train/eval decontamination check: for every holdout document, count
+    distinct n-word shingles that also appear ANYWHERE in the training
+    corpus → ``(id, shared_shingles, contaminated)``.
+
+    The canonical pre-training hygiene op (n-gram overlap against eval
+    sets). Shape at 100 TB: train shingles collapse to a distinct shingle
+    set once (map-side combined aggregation), the overlap is one semi-join
+    on uniformly-hashed shingle strings (skew-free), and the count is a
+    map-side-combinable aggregate — no pair explosion anywhere.
+    """
+    train_sh = word_shingles(train, id_col, text_col, n).select("shingle").distinct()
+    hold_sh = word_shingles(holdout, id_col, text_col, n)
+    hits = (
+        hold_sh.join(train_sh, "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("shared_shingles"))
+    )
+    return (
+        holdout.select(id_col)
+        .distinct()
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("shared_shingles"), F.lit(0)).alias("shared_shingles"),
+            (F.coalesce(F.col("shared_shingles"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def simhash(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -314,3 +314,32 @@ def repetition_signals(
         )
     )
     return result
+
+
+def vocab_top_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    k: int = 50,
+) -> DataFrame:
+    """Corpus-level vocabulary: the k most frequent n-word grams →
+    ``(gram, occurrences)``, every occurrence counted (not per-doc
+    distinct), ties broken lexicographically so the cutoff is total-ordered.
+
+    Shape at scale: explode → one map-side-combinable hash aggregate on
+    uniformly-distributed gram strings → distributed top-k (TakeOrdered,
+    per-partition heads then a k-row merge on the driver); no window over
+    the full vocabulary.
+    """
+    toks = tokens_col(F.col(text_col))
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    return (
+        df.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("occurrences"))
+        .orderBy(F.desc("occurrences"), F.asc("gram"))
+        .limit(k)
+    )

@@ -736,6 +736,7 @@ def _merge_ext() -> None:
         queries_ext14,
         queries_ext15,
         queries_ext16,
+        queries_ext17,
     )
 
     for mod, qname, oname in (
@@ -755,6 +756,7 @@ def _merge_ext() -> None:
         (queries_ext14, "QUERIES_EXT14", "ORACLES_EXT14"),
         (queries_ext15, "QUERIES_EXT15", "ORACLES_EXT15"),
         (queries_ext16, "QUERIES_EXT16", "ORACLES_EXT16"),
+        (queries_ext17, "QUERIES_EXT17", "ORACLES_EXT17"),
     ):
         # When an ext module is imported FIRST (tools/tests), it imports this
         # module, whose end-of-module merge then sees the ext module only
