@@ -128,14 +128,64 @@ Q_VOCAB_SQL = """
 """
 
 
+def q_pregel_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted SSSP written as a USER program on the declarative Pregel
+    API (pregel/examples.py:sssp_pregel, the reference pregel-example
+    re-derived) — must produce exactly what the native operator's oracle
+    expects (Q_SSSP_SQL, closed-form supply-tree distances)."""
+    from graph_data_science_spark.pregel.examples import sssp_pregel
+    from graph_data_science_spark.queries_ext import _supply_tree_graph
+
+    g = _supply_tree_graph(spark, sf_dir, weighted=True)
+    res = sssp_pregel(g, source=0)
+    return res.state.filter(F.col("distance").isNotNull()).select(
+        "node_id", F.col("distance").cast("long").alias("distance")
+    )
+
+
+def q_pregel_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components as a USER Pregel program (reference cc
+    example) over the symmetrized order-chain graph — must match the
+    native WCC's closed-form oracle (component = min orderkey per
+    customer chain)."""
+    from graph_data_science_spark.pregel.examples import connected_components_pregel
+    from graph_data_science_spark.queries import _order_chain_graph
+    from graph_data_science_spark.graph.build import LinkGraph
+
+    g = _order_chain_graph(spark, sf_dir)
+    sym = g.edges.union(
+        g.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+    res = connected_components_pregel(
+        LinkGraph(edges=sym, vertices=g.vertices, node_count=g.node_count)
+    )
+    return res.state.select("node_id", "component")
+
+
 QUERIES_EXT17 = {
     "dedup_clusters_docs": q_dedup_clusters,
     "contamination_docs": q_contamination,
     "vocab_top_bigrams": q_vocab_top_bigrams,
+    "pregel_sssp_supply_tree": q_pregel_sssp,
+    "pregel_cc_order_chains": q_pregel_cc,
 }
+
+
+def _late_oracles() -> dict:
+    # Q_SSSP_SQL lives in queries_ext, whose import may be in progress
+    # when this module loads first (see queries._merge_ext note).
+    from graph_data_science_spark.queries import Q_WCC_SQL
+    from graph_data_science_spark.queries_ext import Q_SSSP_SQL
+
+    return {
+        "pregel_sssp_supply_tree": Q_SSSP_SQL,
+        "pregel_cc_order_chains": Q_WCC_SQL,
+    }
+
 
 ORACLES_EXT17 = {
     "dedup_clusters_docs": Q_DEDUP_CLUSTERS_SQL,
     "contamination_docs": Q_CONTAMINATION_SQL,
     "vocab_top_bigrams": Q_VOCAB_SQL,
+    **_late_oracles(),
 }
