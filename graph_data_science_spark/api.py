@@ -567,13 +567,45 @@ class Procedures:
 
     def __init__(self, catalog: GraphCatalog) -> None:
         self.catalog = catalog
+        self._registered: dict[str, Callable[..., DataFrame]] = {}
+
+    def register_pregel(
+        self,
+        algo: str,
+        computation,
+        score_column: str | None = None,
+        max_iterations: int = 20,
+    ) -> None:
+        """Register a user :class:`~graph_data_science_spark.pregel.api.
+        PregelComputation` under a procedure name — the analog of the
+        reference's annotation processor (``pregel-proc-generator/.../
+        PregelProcessor.java``), which turns a PregelComputation class
+        into ``gds.<name>.{stream,stats,mutate,write}`` procedures. The
+        ``score_column`` (default: the first schema column) is surfaced
+        as ``score`` so every facade mode works unchanged."""
+        if algo in ALGORITHMS:
+            raise ValueError(f"{algo!r} collides with a built-in algorithm name")
+        from graph_data_science_spark.pregel.api import run_pregel
+
+        col0 = score_column or next(iter(computation.schema))
+
+        def _proc(graph: LinkGraph, **cfg) -> DataFrame:
+            cfg.setdefault("max_iterations", max_iterations)
+            out = run_pregel(graph, computation, **cfg).state
+            return out.withColumnRenamed(col0, "score") if col0 != "score" else out
+
+        self._registered[algo] = _proc
 
     def _run(self, algo: str, graph_name: str, **config) -> tuple[DataFrame, float]:
-        if algo not in ALGORITHMS:
-            raise KeyError(f"unknown algorithm {algo!r}; known: {sorted(ALGORITHMS)}")
+        fn = self._registered.get(algo) or ALGORITHMS.get(algo)
+        if fn is None:
+            raise KeyError(
+                f"unknown algorithm {algo!r}; known: "
+                f"{sorted([*ALGORITHMS, *self._registered])}"
+            )
         graph = self.catalog.get(graph_name)
         t0 = time.monotonic()
-        result = ALGORITHMS[algo](graph, **config)
+        result = fn(graph, **config)
         return result, time.monotonic() - t0
 
     def stream(self, algo: str, graph_name: str, **config) -> DataFrame:

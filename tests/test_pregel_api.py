@@ -166,3 +166,43 @@ def test_pregel_checkpoint_resume(spark, tmp_path):
     # resumed run continued from superstep 2 rather than restarting
     supersteps = {r["superstep"] for r in resumed.loop.metrics().collect()}
     assert 2 in supersteps and 0 in supersteps
+
+
+def test_register_pregel_procedure(spark, tmp_path):
+    """pregel-proc-generator analog: a user computation becomes a facade
+    procedure and every mode works."""
+    from graph_data_science_spark.api import Procedures
+    from graph_data_science_spark.graph.catalog import GraphCatalog
+    from graph_data_science_spark.pregel.api import PregelComputation
+
+    g = _graph(spark, EDGES)
+    sym = g.edges.union(
+        g.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+    cat = GraphCatalog(spark, str(tmp_path / "cat"))
+    cat.project("g", LinkGraph(edges=sym, vertices=g.vertices, node_count=g.node_count))
+    procs = Procedures(cat)
+
+    comp = PregelComputation(
+        name="user_cc",
+        schema={"component": lambda ctx: ctx["node"].cast("long"), "changed": False},
+        message=lambda s: s["component"],
+        reducer="min",
+        update=lambda s, msg: {
+            "component": F.least(s["component"], F.coalesce(msg, s["component"])),
+            "changed": msg.isNotNull() & (msg < s["component"]),
+        },
+        vote_to_halt=lambda s, msg: ~s["changed"],
+    )
+    procs.register_pregel("user.pregel.cc", comp, score_column="component", max_iterations=50)
+
+    df = procs.stream("user.pregel.cc", "g")
+    comps = {r["node_id"]: r["score"] for r in df.collect()}
+    assert set(comps.values()) == {0, 8}
+    st = procs.stats("user.pregel.cc", "g")
+    assert st["nodeCount"] == 10
+
+    with pytest.raises(ValueError, match="collides"):
+        procs.register_pregel("pageRank", comp)
+    with pytest.raises(KeyError, match="unknown algorithm"):
+        procs.stream("user.pregel.missing", "g")
