@@ -123,6 +123,9 @@ def run_pregel(
     :class:`SuperstepLoop` (kill-resume with lineage validation)."""
     if computation.reducer not in _REDUCERS:
         raise ValueError(f"unknown reducer {computation.reducer!r}; use one of {sorted(_REDUCERS)}")
+    reserved = {"active", "received"} & set(computation.aggregates)
+    if reserved:
+        raise ValueError(f"aggregate names {sorted(reserved)} are reserved by the runtime")
     reduce_fn = _REDUCERS[computation.reducer]
     spark = graph.edges.sparkSession
     n = graph.with_node_count()
