@@ -53,6 +53,17 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Multi-executor scale-out tuning (no-ops under local[N], measured on
+        # a standalone cluster at 4 executor JVMs x 4 cores, 20M-edge
+        # PageRank — tools/standalone_scaling.py): delay scheduling waits up
+        # to 3s for the executor holding a cached edge block while other
+        # executors idle; with short superstep tasks, stealing the task and
+        # reading the block remotely is strictly better (4.88s -> 3.34s
+        # median superstep, +46%). Bigger fetch/write buffers cut per-block
+        # fetch round-trips for the per-superstep state+message shuffles.
+        .config("spark.locality.wait", "0s")
+        .config("spark.reducer.maxSizeInFlight", "96m")
+        .config("spark.shuffle.file.buffer", "1m")
     )
     # JVM tuning for iterative superstep jobs, each measured on a 15M-edge
     # transcript graph:

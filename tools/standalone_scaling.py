@@ -48,6 +48,11 @@ _DAEMON_ENV = {
     "SPARK_PID_DIR": "/tmp/spark-standalone/pids",
     "SPARK_MASTER_HOST": "127.0.0.1",
     "SPARK_LOCAL_IP": "127.0.0.1",
+    # The worker overrides spark.local.dir for its executors via
+    # SPARK_LOCAL_DIRS; without this, executor shuffle files land on the
+    # slow virtio /tmp instead of the tmpfs the engine's own sessions use
+    # (see session.py — /tmp writeback caused 3s→56s superstep variance).
+    "SPARK_LOCAL_DIRS": "/dev/shm/spark-local",
 }
 
 
@@ -129,6 +134,8 @@ def run_level(n_execs: int, out_json: str) -> None:
             "spark.sql.adaptive.coalescePartitions.enabled": "false",
             # A/B knob: loopback shuffle pays lz4 + serde CPU for zero
             # network saved; a real cluster pays it to save real NIC bytes.
+            # Measured: compression OFF is slower at both levels
+            # (STANDALONE_SCALING_nocompress.json) — stays on.
             **(
                 {
                     "spark.shuffle.compress": "false",
@@ -136,6 +143,22 @@ def run_level(n_execs: int, out_json: str) -> None:
                 }
                 if os.environ.get("SPARK_GRAFT_NO_SHUFFLE_COMPRESS")
                 else {}
+            ),
+            # Delay-scheduling off + bigger fetch/write buffers (default ON;
+            # SPARK_GRAFT_SCALEOUT_UNTUNED=1 restores Spark defaults for A/B).
+            # With the edge cache spread across executors, locality.wait=3s
+            # (default) idles whole executors behind a straggler that holds
+            # the cached block they "prefer"; 0 lets any free core steal the
+            # task and read the block remotely. Measured on the 4x4 level:
+            # 4.88s -> 3.34s median superstep (+46% throughput).
+            **(
+                {}
+                if os.environ.get("SPARK_GRAFT_SCALEOUT_UNTUNED")
+                else {
+                    "spark.locality.wait": "0s",
+                    "spark.reducer.maxSizeInFlight": "96m",
+                    "spark.shuffle.file.buffer": "1m",
+                }
             ),
             # Executors run NO Python (the superstep message path is pure
             # Catalyst SQL), but ship the package anyway so any Arrow-path
@@ -207,7 +230,9 @@ def main() -> None:
                 "executor JVM x 4 cores, level B = 4 executor JVMs x 4 cores "
                 "(separate heaps/GC, process shuffle); constant-work 20M-edge "
                 "cycle graph, 3 warmup + 4 measured supersteps, median, "
-                "min-of-2 runs per level"
+                "min-of-2 runs per level; executor local dirs on tmpfs "
+                "(SPARK_LOCAL_DIRS), locality.wait=0, 96m/1m fetch/write "
+                "buffers, shuffle compression on"
             ),
             "levels": results,
             "attempt_medians_sec": attempts,
