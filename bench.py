@@ -347,6 +347,11 @@ def main() -> None:
     # medians are recorded so the spread is visible in the artifact.
     scale_results = {}
     scale_attempts: dict[int, list] = {}
+    # Dev-only quick mode: the scaling series costs ~20 min (6 spark-submit
+    # runs); correctness iterations on the headline queries don't need it.
+    # The driver never sets this — the recorded artifact always carries the
+    # full scaling block.
+    skip_scaling = os.environ.get("SPARK_GRAFT_SKIP_SCALING") == "1"
     # Each level is a real `spark-submit --master local[N] --py-files <zip>`
     # job — the north rule's deployment mechanism verbatim; on a cluster the
     # same command line points --master at the 4N-executor resource manager.
@@ -355,9 +360,10 @@ def main() -> None:
     # protocol as in scaling_run's docstring.
     from tools.package_pyfiles import build as build_pyfiles_zip
 
-    pyfiles_zip = build_pyfiles_zip(os.path.join(work, "gds_spark.zip"))
-    spark_submit = shutil.which("spark-submit") or "spark-submit"
-    for n in (2, 8, 32):
+    if not skip_scaling:
+        pyfiles_zip = build_pyfiles_zip(os.path.join(work, "gds_spark.zip"))
+        spark_submit = shutil.which("spark-submit") or "spark-submit"
+    for n in () if skip_scaling else (2, 8, 32):
         mem_gb = os.environ.get("SPARK_GRAFT_DRIVER_MEM") or f"{min(96, 4 + n)}g"
         jvm_opts = (
             f"-Xms{mem_gb} -XX:+AlwaysPreTouch -XX:G1HeapRegionSize=32m "
@@ -388,9 +394,47 @@ def main() -> None:
             attempts.append(json.load(open(out)))
         scale_attempts[n] = [round(a["median_superstep_sec"], 3) for a in attempts]
         scale_results[n] = min(attempts, key=lambda a: a["median_superstep_sec"])
-    thr = {n: scale_results[n]["throughput_edges_per_sec_per_superstep"] for n in scale_results}
-    efficiency_2_8 = thr[8] / (4 * thr[2])
-    efficiency_8_32 = thr[32] / (4 * thr[8])
+    if skip_scaling:
+        scaling_payload: dict = {"skipped": "SPARK_GRAFT_SKIP_SCALING=1 (dev quick mode)"}
+    else:
+        thr = {n: scale_results[n]["throughput_edges_per_sec_per_superstep"] for n in scale_results}
+        efficiency_2_8 = thr[8] / (4 * thr[2])
+        efficiency_8_32 = thr[32] / (4 * thr[8])
+        scaling_payload = {
+            "protocol": (
+                "constant-work cycle graph, 3 warmup + 4 measured "
+                "supersteps, median; min-of-2 runs per level; each "
+                "run a spark-submit --master local[N] --py-files job"
+            ),
+            "attempt_medians_sec": {str(n): scale_attempts[n] for n in scale_attempts},
+            "edges": scale_results[8]["edges"],
+            "median_superstep_sec": {
+                str(n): round(scale_results[n]["median_superstep_sec"], 3) for n in scale_results
+            },
+            "throughput": {str(n): round(thr[n], 1) for n in thr},
+            "efficiency_N2_to_4N8": round(efficiency_2_8, 3),
+            "efficiency_N8_to_4N32": round(efficiency_8_32, 3),
+            "superstep_walls": {
+                str(n): [round(x, 3) for x in scale_results[n]["superstep_walls"]]
+                for n in scale_results
+            },
+            "busy_cores_avg": {
+                str(n): scale_results[n]["busy_cores_avg"] for n in scale_results
+            },
+            "cpu_utilization_of_level": {
+                str(n): scale_results[n]["cpu_utilization_of_level"] for n in scale_results
+            },
+            "cpu_breakdown": {
+                str(n): scale_results[n].get("cpu_breakdown") for n in scale_results
+            },
+            "loadavg": {
+                str(n): {
+                    "before": scale_results[n]["loadavg_before"],
+                    "after": scale_results[n]["loadavg_after"],
+                }
+                for n in scale_results
+            },
+        }
 
     print(
         json.dumps(
@@ -414,41 +458,7 @@ def main() -> None:
                     "limit_factor": SENTINEL_FACTOR,
                 },
                 "loadavg": {"start": load_start, "end": _loadavg()},
-                "scaling": {
-                    "protocol": (
-                        "constant-work cycle graph, 3 warmup + 4 measured "
-                        "supersteps, median; min-of-2 runs per level; each "
-                        "run a spark-submit --master local[N] --py-files job"
-                    ),
-                    "attempt_medians_sec": {str(n): scale_attempts[n] for n in scale_attempts},
-                    "edges": scale_results[8]["edges"],
-                    "median_superstep_sec": {
-                        str(n): round(scale_results[n]["median_superstep_sec"], 3) for n in scale_results
-                    },
-                    "throughput": {str(n): round(thr[n], 1) for n in thr},
-                    "efficiency_N2_to_4N8": round(efficiency_2_8, 3),
-                    "efficiency_N8_to_4N32": round(efficiency_8_32, 3),
-                    "superstep_walls": {
-                        str(n): [round(x, 3) for x in scale_results[n]["superstep_walls"]]
-                        for n in scale_results
-                    },
-                    "busy_cores_avg": {
-                        str(n): scale_results[n]["busy_cores_avg"] for n in scale_results
-                    },
-                    "cpu_utilization_of_level": {
-                        str(n): scale_results[n]["cpu_utilization_of_level"] for n in scale_results
-                    },
-                    "cpu_breakdown": {
-                        str(n): scale_results[n].get("cpu_breakdown") for n in scale_results
-                    },
-                    "loadavg": {
-                        str(n): {
-                            "before": scale_results[n]["loadavg_before"],
-                            "after": scale_results[n]["loadavg_after"],
-                        }
-                        for n in scale_results
-                    },
-                },
+                "scaling": scaling_payload,
             }
         )
     )

@@ -33,7 +33,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
-from graph_data_science_spark.graph.build import LinkGraph, degrees
+from graph_data_science_spark.graph.build import LinkGraph
 from graph_data_science_spark.pregel.spmv import (
     build_blocks,
     prep_edges_sql,
@@ -58,20 +58,43 @@ class RankResult:
     superstep_walls: list | None = None  # per-update wall seconds
 
 
-def _normalized_edges(graph: LinkGraph, weighted: bool, extra_denominator: float = 0.0) -> DataFrame:
-    """edges + norm_w = w / (Σ_out w [+ extra]); unweighted w ≡ 1."""
+def _normalized_edges(
+    graph: LinkGraph,
+    weighted: bool,
+    extra_denominator: float = 0.0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """edges + norm_w = w / (Σ_out w [+ extra]); unweighted w ≡ 1.
+
+    Single-shuffle plan: the edges are hash-partitioned by ``src`` ONCE and
+    the out-degree (Σ strictly-positive weights, GDS
+    ``DegreeFunctions.java:39-56``) is a window sum over that clustering —
+    no groupBy + edge-side re-join round trip (which cost two extra
+    full-edge exchanges at every graph build). The window's required sort
+    (``src``) is the very ordering ``prep_edges_sql`` wants, so the SQL
+    message path passes ``clustered=True`` downstream and the whole build
+    is one exchange + one sort. Output partitioning: HashPartitioning(src,
+    num_partitions) — callers passing ``clustered=True`` to the prep MUST
+    pass the same ``num_partitions`` here."""
+    from pyspark.sql import Window
+
+    spark = graph.edges.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     e = graph.edges
     if not weighted:
         e = e.select("src", "dst", F.lit(1.0).alias("weight"))
-    deg = degrees(e, weighted=True)  # Σ positive weights (or count when w≡1)
+    pos = F.when(F.col("weight") > 0, F.col("weight")).otherwise(F.lit(0.0))
+    deg = F.sum(pos).over(Window.partitionBy("src"))
     return (
-        e.join(deg, e["src"] == deg["node_id"], "inner")
-        .filter(F.col("degree") > 0)
+        e.select("src", "dst", "weight")
+        .repartition(num_partitions, "src")
         .select(
             "src",
             "dst",
-            (F.when(F.col("weight") > 0, F.col("weight")).otherwise(F.lit(0.0))
-             / (F.col("degree") + F.lit(float(extra_denominator)))).alias("norm_w"),
+            F.when(
+                deg > 0, pos / (deg + F.lit(float(extra_denominator)))
+            ).otherwise(F.lit(0.0)).alias("norm_w"),
         )
         .filter(F.col("norm_w") != 0)
     )
@@ -91,6 +114,7 @@ def _rank_loop(
     message_path: str = "sql",
     fuse: int = 1,
     initial_scores: DataFrame | None = None,
+    norm_clustered: bool = True,
 ) -> RankResult:
     """``message_path``: 'sql' (default) keeps the per-superstep SpMV fully
     JVM-side (co-partitioned join + hash agg — the fast path for reducible
@@ -105,7 +129,9 @@ def _rank_loop(
         )
         msg_fn = lambda active: spmv_messages(blocked, active)  # noqa: E731
     else:
-        prepped = prep_edges_sql(norm_edges, num_partitions=num_blocks)
+        # norm_edges came out of the window normalization already
+        # hash-partitioned by src at num_blocks — skip the re-exchange.
+        prepped = prep_edges_sql(norm_edges, num_partitions=num_blocks, clustered=norm_clustered)
         msg_fn = lambda active: spmv_messages_sql(prepped, active)  # noqa: E731
     # auto_free_prev=False: committed delta frames are retained in `pending`
     # until the next fold — _fold() frees them once summed.
@@ -352,7 +378,7 @@ def pagerank(
     re-executes the shared prefix per branch — 34.3 vs 12.3 s/round
     against unfused. Fuse only when the per-round plan is cheaper than
     job-launch overhead (small graphs / very fast clusters)."""
-    norm = _normalized_edges(graph, weighted)
+    norm = _normalized_edges(graph, weighted, num_partitions=num_blocks)
     return _rank_loop(
         graph, norm, damping, tolerance, max_iterations, source_nodes,
         checkpoint_dir, "pagerank", num_blocks, hot_degree_threshold,
@@ -379,7 +405,9 @@ def article_rank(
     # via node_ids() (the vertex table when one exists).
     n = graph.node_ids().count()
     avg_deg = (graph.edges.count() / n) if n else 0.0
-    norm = _normalized_edges(graph, weighted, extra_denominator=float(avg_deg))
+    norm = _normalized_edges(
+        graph, weighted, extra_denominator=float(avg_deg), num_partitions=num_blocks
+    )
     return _rank_loop(
         graph, norm, damping, tolerance, max_iterations, source_nodes,
         checkpoint_dir, "article_rank", num_blocks, 2_000_000,
@@ -420,10 +448,13 @@ def eigenvector(
     # when present), not the id-space bound.
     n = graph.node_ids().count()
     if weighted:
-        norm = _normalized_edges(graph, True)  # w / Σ_out w, positive weights
+        # w / Σ_out w, positive weights; window-normalized output is already
+        # src-clustered at num_blocks, so the prep adds no exchange.
+        norm = _normalized_edges(graph, True, num_partitions=num_blocks)
+        prepped = prep_edges_sql(norm, num_partitions=num_blocks, clustered=True)
     else:
         norm = graph.edges.select("src", "dst", F.lit(1.0).alias("norm_w"))
-    prepped = prep_edges_sql(norm, num_partitions=num_blocks)
+        prepped = prep_edges_sql(norm, num_partitions=num_blocks)
     loop = SuperstepLoop(
         spark,
         "eigenvector",

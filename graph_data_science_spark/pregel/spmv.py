@@ -133,7 +133,12 @@ def build_blocks(
     )
 
 
-def prep_edges_sql(edges: DataFrame, num_partitions: int | None = None, weight_col: str = "norm_w") -> DataFrame:
+def prep_edges_sql(
+    edges: DataFrame,
+    num_partitions: int | None = None,
+    weight_col: str = "norm_w",
+    clustered: bool = False,
+) -> DataFrame:
     """One-time prep for the JVM-side message path: hash-partition the edge
     table by src, SORT within partitions by src, and cache it.
 
@@ -144,13 +149,21 @@ def prep_edges_sql(edges: DataFrame, num_partitions: int | None = None, weight_c
     exchange *and* the O(|E| log |E|) sort on the edge side; only the
     (much smaller) vertex state is exchanged + sorted per round. Unsorted,
     Spark re-sorts the full edge table every superstep.
-    ``SPARK_GRAFT_SORT_EDGES=0`` restores the unsorted cache (A/B knob)."""
+    ``SPARK_GRAFT_SORT_EDGES=0`` restores the unsorted cache (A/B knob).
+
+    ``clustered=True``: the caller guarantees ``edges`` is ALREADY
+    hash-partitioned by ``src`` into ``num_partitions`` partitions (e.g. it
+    came out of the window-based degree normalization, whose exchange is
+    the same clustering) — the redundant repartition is skipped, making
+    graph build a single full-edge shuffle end to end."""
     spark = edges.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     prepped = edges.select(
         "src", "dst", F.col(weight_col).cast("double").alias("norm_w")
-    ).repartition(num_partitions, "src")
+    )
+    if not clustered:
+        prepped = prepped.repartition(num_partitions, "src")
     if os.environ.get("SPARK_GRAFT_SORT_EDGES", "1") == "1":
         prepped = prepped.sortWithinPartitions("src")
     prepped = prepped.persist()
