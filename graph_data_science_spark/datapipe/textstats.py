@@ -343,3 +343,40 @@ def vocab_top_ngrams(
         .orderBy(F.desc("occurrences"), F.asc("gram"))
         .limit(k)
     )
+
+
+# PII patterns, restricted to syntax Java regex (Spark) and RE2 (DuckDB)
+# match identically — no lookarounds, no backreferences — so the DuckDB
+# oracle reproduces every match. Order matters: emails are redacted before
+# phones/IPs so the address's digits can't be re-matched as a number.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+]
+
+
+def pii_redact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    replacement: str = "[PII]",
+) -> DataFrame:
+    """Redact PII-shaped spans (emails, NNN-NNN-NNNN phones, IPv4s) and
+    count each category: (id, redacted, n_email, n_phone, n_ipv4).
+
+    Pure column expressions (sequential ``regexp_replace`` passes + one
+    ``regexp_extract_all``-size count per category on the ORIGINAL text) —
+    one scan, zero shuffle, whole-stage codegen; the linear-scan shape a
+    100 TB corpus pass wants. Counts are measured before redaction so a
+    replacement string can never create or destroy a later match.
+    """
+    text = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(text, F.lit(pat), 0)).alias(f"n_{name}")
+        for name, pat in PII_PATTERNS
+    ]
+    redacted = text
+    for _, pat in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, replacement)
+    return df.select(F.col(id_col), redacted.alias("redacted"), *counts)

@@ -737,6 +737,7 @@ def _merge_ext() -> None:
         queries_ext15,
         queries_ext16,
         queries_ext17,
+        queries_ext18,
     )
 
     for mod, qname, oname in (
@@ -757,6 +758,7 @@ def _merge_ext() -> None:
         (queries_ext15, "QUERIES_EXT15", "ORACLES_EXT15"),
         (queries_ext16, "QUERIES_EXT16", "ORACLES_EXT16"),
         (queries_ext17, "QUERIES_EXT17", "ORACLES_EXT17"),
+        (queries_ext18, "QUERIES_EXT18", "ORACLES_EXT18"),
     ):
         # When an ext module is imported FIRST (tools/tests), it imports this
         # module, whose end-of-module merge then sees the ext module only

@@ -1,0 +1,157 @@
+"""Round-3 driver-contract queries (batch 18): corpus-hygiene sampling +
+PII redaction, oracle-gated.
+
+- ``pii_redaction_docs``: PII-shaped spans (emails, NNN-NNN-NNNN phones,
+  IPv4s) redacted and counted per document (``datapipe/textstats.py:
+  pii_redact``). The synthetic corpus carries no PII, so the query first
+  concatenates deterministic PII derived from ``doc_id`` into each text —
+  both engines build the identical augmented string, then the oracle
+  replays the same regex passes (patterns restricted to the Java-regex ∩
+  RE2 common dialect).
+- ``quality_sample_docs``: quality-weighted down-sampling
+  (``datapipe/sampling.py:weighted_sample``) — keep rate is a CASE over
+  ``n_chars`` quality buckets, the draw is the portable md5 uniform, so
+  DuckDB replays every keep/drop decision bit-for-bit.
+- ``stratified_sample_sources``: rebalance to a target source mix
+  (``datapipe/sampling.py:stratified_sample_to_target``) — the oracle
+  recomputes shares/ratios/rates in CTEs with the same IEEE expression
+  order and replays the draws.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graph_data_science_spark.queries import _portable_hash_sql, _t
+
+# Shared with datapipe.textstats.PII_PATTERNS (kept literal here so the
+# oracle SQL below is self-evidently the same pattern set).
+_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+_AUG_SQL = (
+    "aug AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com tel 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS text FROM documents)"
+)
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graph_data_science_spark.datapipe.textstats import pii_redact
+
+    d = _t(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com tel 555-010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("text"),
+    )
+    return pii_redact(aug)
+
+
+Q_PII_SQL = f"""
+WITH {_AUG_SQL}
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{_EMAIL}', '[PII]', 'g'),
+           '{_PHONE}', '[PII]', 'g'),
+           '{_IPV4}', '[PII]', 'g') AS redacted,
+       len(regexp_extract_all(text, '{_EMAIL}')) AS n_email,
+       len(regexp_extract_all(text, '{_PHONE}')) AS n_phone,
+       len(regexp_extract_all(text, '{_IPV4}')) AS n_ipv4
+FROM aug
+"""
+
+# u(id) in [0,1): portable md5 hash (15 hex digits = 60 bits) / 16^15.
+_HASH_SPACE = "1152921504606846976.0"
+
+
+def _uniform_sql(seed: str) -> str:
+    return f"({_portable_hash_sql('CAST(doc_id AS VARCHAR)', seed)} / {_HASH_SPACE})"
+
+
+_QUALITY_RATE = (
+    "CASE WHEN n_chars >= 400 THEN 0.9 WHEN n_chars >= 250 THEN 0.6 "
+    "WHEN n_chars >= 150 THEN 0.3 ELSE 0.1 END"
+)
+
+
+def q_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graph_data_science_spark.datapipe.sampling import weighted_sample
+
+    d = _t(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("n_chars") >= 400, 0.9)
+        .when(F.col("n_chars") >= 250, 0.6)
+        .when(F.col("n_chars") >= 150, 0.3)
+        .otherwise(0.1)
+    )
+    return weighted_sample(d, rate, seed="quality").select("doc_id", "n_chars")
+
+
+Q_QUALITY_SAMPLE_SQL = f"""
+SELECT doc_id, n_chars FROM documents
+WHERE {_uniform_sql('quality')} < {_QUALITY_RATE}
+"""
+
+_MIX_TARGETS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graph_data_science_spark.datapipe.sampling import stratified_sample_to_target
+
+    d = _t(spark, sf_dir, "documents")
+    out = stratified_sample_to_target(d, "source", _MIX_TARGETS, seed="mix")
+    return out.select("doc_id", "source")
+
+
+_TGT_SQL = " UNION ALL ".join(
+    f"SELECT '{k}' AS source, {v} AS _target" for k, v in _MIX_TARGETS.items()
+)
+
+# IEEE expression order mirrors stratified_sample_to_target exactly:
+# _share = _n / total; _ratio = _share / _target;
+# _rate = least(1.0, min_ratio / _ratio); keep = u < _rate.
+Q_STRATIFIED_SQL = f"""
+WITH tgt AS ({_TGT_SQL}),
+shares AS (
+    SELECT d.source, COUNT(*) AS _n, ANY_VALUE(t._target) AS _target
+    FROM documents d JOIN tgt t ON t.source = d.source
+    GROUP BY d.source
+),
+ratios AS (
+    SELECT source, _target,
+           (_n / (SELECT SUM(_n) FROM shares)) / _target AS _ratio
+    FROM shares
+),
+rates AS (
+    SELECT source,
+           least(1.0, (SELECT MIN(_ratio) FROM ratios) / _ratio) AS _rate
+    FROM ratios
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN rates r ON r.source = d.source
+WHERE {_uniform_sql('mix').replace('doc_id', 'd.doc_id')} < r._rate
+"""
+
+
+QUERIES_EXT18 = {
+    "pii_redaction_docs": q_pii_redaction,
+    "quality_sample_docs": q_quality_sample,
+    "stratified_sample_sources": q_stratified_sample,
+}
+
+ORACLES_EXT18 = {
+    "pii_redaction_docs": Q_PII_SQL,
+    "quality_sample_docs": Q_QUALITY_SAMPLE_SQL,
+    "stratified_sample_sources": Q_STRATIFIED_SQL,
+}
