@@ -78,3 +78,149 @@ class GraphCatalog:
             return False
         shutil.rmtree(self._dir(name))
         return True
+
+    # ---- catalog procedures beyond project/list/exists/drop -------------
+    # Each mirrors a reference proc in proc/catalog/.../catalog/ and
+    # composes existing engine pieces; the catalog stays a thin naming
+    # layer over parquet/Iceberg tables.
+
+    def filter(
+        self,
+        from_name: str,
+        to_name: str,
+        node_filter: str = "true",
+        relationship_filter: str = "true",
+        overwrite: bool = False,
+    ) -> dict:
+        """gds.graph.filter analog (reference ``GraphFilterProc.java``;
+        expression language ``subgraph-filtering/.../Expression.java`` —
+        here the filter strings are Spark SQL boolean expressions, a
+        strict superset of the reference's AST)."""
+        from graph_data_science_spark.graph.subgraph import subgraph_filter
+
+        g = subgraph_filter(
+            self.get(from_name),
+            node_filter=node_filter,
+            relationship_filter=relationship_filter,
+            redensify=True,
+        )
+        self.project(to_name, g, overwrite=overwrite)
+        return {
+            "fromGraphName": from_name,
+            "graphName": to_name,
+            "nodeCount": g.with_node_count(),
+            "relationshipCount": g.relationship_count(),
+        }
+
+    def sample(
+        self,
+        from_name: str,
+        to_name: str,
+        method: str = "rwr",
+        sampling_ratio: float = 0.15,
+        seed: int = 42,
+        overwrite: bool = False,
+        **kwargs,
+    ) -> dict:
+        """gds.graph.sample.{rwr,cnarw} analog (reference
+        ``GraphSampleProc.java``; samplers ``graph-sampling/.../rwr/
+        RandomWalkWithRestarts.java``, ``cnarw/CommonNeighbourAware
+        RandomWalk.java``)."""
+        from pyspark.sql import functions as F
+
+        from graph_data_science_spark.graph.subgraph import cnarw_sample, rwr_sample
+
+        sampler = {"rwr": rwr_sample, "cnarw": cnarw_sample}.get(method)
+        if sampler is None:
+            raise ValueError(f"unknown sampling method {method!r}; use 'rwr' or 'cnarw'")
+        src = self.get(from_name)
+        start_nodes = kwargs.pop("start_nodes", None)
+        if start_nodes is None:
+            # Reference default: a uniformly-drawn start node; deterministic
+            # here (min id) so catalog samples are reproducible.
+            start_nodes = src.node_ids().agg(F.min("node_id").alias("node_id"))
+        g = sampler(
+            src,
+            start_nodes,
+            sample_fraction=sampling_ratio,
+            random_seed=seed,
+            **kwargs,
+        )
+        self.project(to_name, g, overwrite=overwrite)
+        return {
+            "fromGraphName": from_name,
+            "graphName": to_name,
+            "nodeCount": g.with_node_count(),
+            "relationshipCount": g.relationship_count(),
+        }
+
+    def export_csv(self, name: str, path: str) -> dict:
+        """gds.graph.export.csv analog (reference
+        ``GraphStoreExportProc.java`` → ``io/csv/.../GraphStoreToCsv
+        Exporter.java``): write the named graph in the header+data CSV
+        layout ``io_csv.py`` round-trips."""
+        from graph_data_science_spark.io_csv import export_graph_csv
+
+        return export_graph_csv(self.get(name), path)
+
+    def stream_node_properties(self, name: str, properties: list[str]):
+        """gds.graph.nodeProperties.stream analog (reference
+        ``GraphStreamNodePropertiesProc.java``): long-format
+        (node_id, property, value) rows for the requested vertex columns."""
+        from pyspark.sql import functions as F
+
+        g = self.get(name)
+        if g.vertices is None:
+            raise ValueError(f"graph {name!r} has no node properties")
+        missing = [p for p in properties if p not in g.vertices.columns]
+        if missing:
+            raise KeyError(f"node properties not found: {missing}")
+        stack = ", ".join(f"'{p}', CAST(`{p}` AS DOUBLE)" for p in properties)
+        return g.vertices.select(
+            "node_id",
+            F.expr(f"stack({len(properties)}, {stack}) AS (property, value)"),
+        ).select("node_id", "property", "value")
+
+    def drop_node_properties(self, name: str, properties: list[str]) -> dict:
+        """gds.graph.nodeProperties.drop analog (reference
+        ``GraphDropNodePropertiesProc.java``): re-project the graph
+        without the named vertex columns."""
+        g = self.get(name)
+        if g.vertices is None:
+            raise ValueError(f"graph {name!r} has no node properties")
+        missing = [p for p in properties if p not in g.vertices.columns]
+        if missing:
+            raise KeyError(f"node properties not found: {missing}")
+        kept = [c for c in g.vertices.columns if c not in properties]
+        # localCheckpoint: the overwrite below targets the same parquet
+        # files the lazy vertex plan reads.
+        vertices = g.vertices.select(*kept).localCheckpoint(eager=True)
+        edges = g.edges.localCheckpoint(eager=True)
+        self.project(
+            name,
+            LinkGraph(edges=edges, vertices=vertices, node_count=g.node_count),
+            overwrite=True,
+        )
+        return {"graphName": name, "propertiesRemoved": len(properties)}
+
+    def write_node_properties(self, name: str, properties: list[str], path: str) -> dict:
+        """gds.graph.nodeProperties.write analog (reference
+        ``GraphWriteNodePropertiesProc.java``): persist the requested
+        vertex columns (parquet here ≡ an Iceberg append on a cluster)."""
+        g = self.get(name)
+        if g.vertices is None:
+            raise ValueError(f"graph {name!r} has no node properties")
+        out = g.vertices.select("node_id", *properties)
+        out.write.mode("overwrite").parquet(path)
+        n = self.spark.read.parquet(path).count()
+        return {"graphName": name, "propertiesWritten": n * len(properties), "path": path}
+
+    def stream_relationships(self, name: str):
+        """gds.graph.relationships.stream analog (reference
+        ``GraphStreamRelationshipsProc.java``)."""
+        from pyspark.sql import functions as F
+
+        return self.get(name).edges.select(
+            F.col("src").alias("sourceNodeId"),
+            F.col("dst").alias("targetNodeId"),
+        )
