@@ -155,3 +155,36 @@ ORACLES_EXT18 = {
     "quality_sample_docs": Q_QUALITY_SAMPLE_SQL,
     "stratified_sample_sources": Q_STRATIFIED_SQL,
 }
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graph_data_science_spark.datapipe.packing import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"), budget=512, n_buckets=8, seed="pack"
+    )
+
+
+Q_PACK_SQL = f"""
+WITH base AS (
+    SELECT doc_id,
+           CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)
+               AS n_tokens,
+           {_portable_hash_sql('CAST(doc_id AS VARCHAR)', 'pack')} AS _h
+    FROM documents
+), c AS (
+    SELECT doc_id, n_tokens, _h % 8 AS bucket,
+           COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY _h % 8 ORDER BY _h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+    FROM base
+)
+SELECT doc_id, n_tokens, bucket,
+       CAST(FLOOR(prev / 512.0) AS BIGINT) AS seq_id,
+       prev % 512 AS token_offset
+FROM c
+"""
+
+QUERIES_EXT18["pack_sequences_docs"] = q_pack_sequences
+ORACLES_EXT18["pack_sequences_docs"] = Q_PACK_SQL
