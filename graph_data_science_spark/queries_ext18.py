@@ -188,3 +188,27 @@ FROM c
 
 QUERIES_EXT18["pack_sequences_docs"] = q_pack_sequences
 ORACLES_EXT18["pack_sequences_docs"] = Q_PACK_SQL
+
+
+def q_random_graph_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graph_data_science_spark.graph.generate import random_graph
+
+    g = random_graph(spark, node_count=1000, average_degree=4, distribution="uniform", seed=7)
+    return g.edges.select("src", "dst")
+
+
+Q_RANDOM_GRAPH_SQL = f"""
+WITH nodes AS (SELECT range AS src FROM range(0, 1000)),
+slots AS (SELECT src, j.range AS j FROM nodes, range(0, 4) j),
+drawn AS (
+    SELECT src,
+           {_portable_hash_sql("CAST(src AS VARCHAR) || '_' || CAST(j AS VARCHAR)", '7:t')}
+               % 1000 AS dst
+    FROM slots
+)
+SELECT src, CASE WHEN dst = src THEN (dst + 1) % 1000 ELSE dst END AS dst
+FROM drawn
+"""
+
+QUERIES_EXT18["random_graph_uniform"] = q_random_graph_uniform
+ORACLES_EXT18["random_graph_uniform"] = Q_RANDOM_GRAPH_SQL
