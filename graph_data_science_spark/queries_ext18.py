@@ -212,3 +212,67 @@ FROM drawn
 
 QUERIES_EXT18["random_graph_uniform"] = q_random_graph_uniform
 ORACLES_EXT18["random_graph_uniform"] = Q_RANDOM_GRAPH_SQL
+
+
+def q_to_undirected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gds.graph.relationships.toUndirected over the supplier→customer
+    shipping graph (lineitem multiplicity as weight): union(reverse) then
+    SUM-aggregate parallel edges (Orientation.UNDIRECTED + Aggregation.SUM,
+    reference ToUndirected.java:50, Aggregation.java:31-100)."""
+    from graph_data_science_spark.graph.build import aggregate_parallel_edges, to_undirected
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("l_suppkey").cast("long").alias("src"),
+            (100000 + F.col("o_custkey")).cast("long").alias("dst"),
+            F.lit(1.0).alias("weight"),
+        )
+    )
+    und = aggregate_parallel_edges(to_undirected(edges), agg="sum")
+    return und.select("src", "dst", F.col("weight").cast("long").alias("multiplicity"))
+
+
+Q_TO_UNDIRECTED_SQL = """
+WITH e AS (
+    SELECT CAST(l_suppkey AS BIGINT) AS src,
+           CAST(100000 + o_custkey AS BIGINT) AS dst,
+           1.0 AS weight
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), sym AS (
+    SELECT src, dst, weight FROM e
+    UNION ALL
+    SELECT dst AS src, src AS dst, weight FROM e
+)
+SELECT src, dst, CAST(SUM(weight) AS BIGINT) AS multiplicity
+FROM sym GROUP BY src, dst
+"""
+
+
+def q_index_inverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gds.graph.relationships.indexInverse: the REVERSE topology of the
+    customer→order graph (reference InverseRelationships.java:51,
+    Orientation.REVERSE)."""
+    from graph_data_science_spark.graph.build import reverse_edges
+
+    orders = _t(spark, sf_dir, "orders")
+    edges = orders.select(
+        (1000 + F.col("o_custkey")).cast("long").alias("src"),
+        (10000 + F.col("o_orderkey")).cast("long").alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    return reverse_edges(edges).select("src", "dst")
+
+
+Q_INDEX_INVERSE_SQL = """
+SELECT CAST(10000 + o_orderkey AS BIGINT) AS src,
+       CAST(1000 + o_custkey AS BIGINT) AS dst
+FROM orders
+"""
+
+QUERIES_EXT18["to_undirected_shipping"] = q_to_undirected
+ORACLES_EXT18["to_undirected_shipping"] = Q_TO_UNDIRECTED_SQL
+QUERIES_EXT18["index_inverse_orders"] = q_index_inverse
+ORACLES_EXT18["index_inverse_orders"] = Q_INDEX_INVERSE_SQL
