@@ -276,3 +276,38 @@ QUERIES_EXT18["to_undirected_shipping"] = q_to_undirected
 ORACLES_EXT18["to_undirected_shipping"] = Q_TO_UNDIRECTED_SQL
 QUERIES_EXT18["index_inverse_orders"] = q_index_inverse
 ORACLES_EXT18["index_inverse_orders"] = Q_INDEX_INVERSE_SQL
+
+
+def q_msbfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct MSBFS oracle row (reference MultiSourceBFSAccessMethods.java:
+    25-55): depths from every region-0 nation node over the supply tree,
+    closed-form on the tree (depth 1 = the nation's suppliers/customers,
+    depth 2 = its customers' orders; BfsConsumer never fires at depth 0)."""
+    from graph_data_science_spark.algorithms.centrality_extra import msbfs_distances
+    from graph_data_science_spark.queries_ext import _supply_tree_graph
+
+    g = _supply_tree_graph(spark, sf_dir, weighted=False)
+    nation = _t(spark, sf_dir, "nation")
+    sources = nation.filter(F.col("n_regionkey") == 0).select(
+        (10 + F.col("n_nationkey")).cast("long").alias("node_id")
+    )
+    return msbfs_distances(g, sources=sources).select(
+        "source", "node_id", F.col("depth").cast("long").alias("depth")
+    )
+
+
+Q_MSBFS_SQL = """
+WITH src AS (SELECT CAST(10 + n_nationkey AS BIGINT) AS source, n_nationkey
+             FROM nation WHERE n_regionkey = 0)
+SELECT source, CAST(50 + s_suppkey AS BIGINT) AS node_id, CAST(1 AS BIGINT) AS depth
+FROM src JOIN supplier ON s_nationkey = n_nationkey
+UNION ALL
+SELECT source, CAST(1000 + c_custkey AS BIGINT), 1
+FROM src JOIN customer ON c_nationkey = n_nationkey
+UNION ALL
+SELECT source, CAST(10000 + o_orderkey AS BIGINT), 2
+FROM src JOIN customer ON c_nationkey = n_nationkey JOIN orders ON o_custkey = c_custkey
+"""
+
+QUERIES_EXT18["msbfs_depths_supply"] = q_msbfs_depths
+ORACLES_EXT18["msbfs_depths_supply"] = Q_MSBFS_SQL
