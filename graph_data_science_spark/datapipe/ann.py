@@ -58,6 +58,86 @@ def cosine_topk(
     )
 
 
+def cosine_topk_gemm(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_query_vectors: int = 100_000,
+) -> DataFrame:
+    """Exact top-k cosine, vectorized: the scale path for EXACT search.
+
+    Same results as ``cosine_topk`` (up to reordering of exact similarity
+    ties), but the |queries| × |corpus| score matrix is computed as one
+    float64 GEMM per Arrow batch inside ``mapInPandas`` instead of a
+    per-pair ``zip_with``/``aggregate`` expression — NumPy BLAS does the
+    inner loop, 10-100× the throughput of per-element codegen on wide
+    vectors. Each corpus partition emits only its LOCAL top-k candidates
+    per query (k · n_partitions rows per query leave the executors), then
+    one global per-query window finishes the ranking — the canonical
+    distributed exact-kNN shape.
+
+    The query matrix is collected to the driver and shipped in the task
+    closure (the explicit form of the broadcast the expression path uses);
+    ``max_query_vectors`` guards the contract that the query side is the
+    small side.
+    """
+    import pandas as pd
+
+    q_rows = (
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>"))
+        .limit(max_query_vectors + 1)
+        .collect()
+    )
+    if len(q_rows) > max_query_vectors:
+        raise ValueError(
+            f"queries side exceeds max_query_vectors={max_query_vectors}; "
+            "swap sides or raise the cap"
+        )
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+
+    def local_topk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["cv"]])
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+            S = Qn @ Vn.T  # |queries| × |batch|
+            # mask self-matches, then take the batch-local top-k per query
+            for qi in range(len(q_ids)):
+                s = S[qi]
+                mask = ids == q_ids[qi]
+                if mask.any():
+                    s = s.copy()
+                    s[mask] = -np.inf
+                kk = min(k, len(s))
+                idx = np.argpartition(-s, kk - 1)[:kk]
+                keep = idx[np.isfinite(s[idx])]
+                if len(keep):
+                    yield pd.DataFrame(
+                        {
+                            "query_id": np.full(len(keep), q_ids[qi], dtype=np.int64),
+                            "neighbor_id": ids[keep],
+                            "sim": s[keep],
+                        }
+                    )
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    cand = c.mapInPandas(local_topk, "query_id long, neighbor_id long, sim double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
 def hyperplane_buckets(
     df: DataFrame,
     dim: int,

@@ -311,3 +311,26 @@ FROM src JOIN customer ON c_nationkey = n_nationkey JOIN orders ON o_custkey = c
 
 QUERIES_EXT18["msbfs_depths_supply"] = q_msbfs_depths
 ORACLES_EXT18["msbfs_depths_supply"] = Q_MSBFS_SQL
+
+
+def q_ann_cosine_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEMM exact top-k must equal the brute-force oracle (same SQL as
+    ann_cosine_topk): the vectorized scale path is exact, not approximate."""
+    from graph_data_science_spark.datapipe.ann import cosine_topk_gemm
+    from graph_data_science_spark.queries import _e
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return cosine_topk_gemm(emb, queries, k=5).select(
+        "query_id", "neighbor_id", "rank", _e(F.col("sim"), 4).alias("sim_e4")
+    )
+
+
+def _ann_oracle() -> dict:
+    from graph_data_science_spark.queries import Q_ANN_SQL
+
+    return {"ann_cosine_gemm_topk": Q_ANN_SQL}
+
+
+QUERIES_EXT18["ann_cosine_gemm_topk"] = q_ann_cosine_gemm
+ORACLES_EXT18.update(_ann_oracle())
