@@ -224,3 +224,37 @@ class GraphCatalog:
             F.col("src").alias("sourceNodeId"),
             F.col("dst").alias("targetNodeId"),
         )
+
+    def memory_usage(self, name: str) -> dict:
+        """gds.graph.memoryUsage analog (reference
+        ``GraphMemoryUsageProc.java``): on-disk footprint of the named
+        graph's parquet tables plus the superstep-loop memory prediction
+        (``SuperstepLoop.predict`` row-width model) for |V| and |E| —
+        the numbers a capacity plan needs before running an algorithm."""
+        if not self.exists(name):
+            raise KeyError(f"graph {name!r} not found in catalog")
+        manifest = json.load(open(os.path.join(self._dir(name), "manifest.json")))
+
+        def _du(sub: str) -> int:
+            p = os.path.join(self._dir(name), sub)
+            if not os.path.isdir(p):
+                return 0
+            return sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, files in os.walk(p)
+                for f in files
+            )
+
+        v, e = manifest["node_count"], manifest["relationship_count"]
+        return {
+            "graphName": name,
+            "nodeCount": v,
+            "relationshipCount": e,
+            "edgesParquetBytes": _du("edges"),
+            "verticesParquetBytes": _du("vertices"),
+            # SuperstepLoop.predict row-width model (32 B/state row,
+            # 24 B/message row): the pre-run upper bound every iterative
+            # algorithm logs into its metrics rows.
+            "predictedStateMb": round(v * 32 / 1e6, 2),
+            "predictedShuffleMb": round(e * 24 / 1e6, 2),
+        }

@@ -91,3 +91,11 @@ def test_stream_relationships(spark, tmp_path):
     rel = cat.stream_relationships("g")
     assert rel.columns == ["sourceNodeId", "targetNodeId"]
     assert rel.count() == 11
+
+
+def test_memory_usage(spark, tmp_path):
+    cat = _catalog(spark, tmp_path)
+    mu = cat.memory_usage("g")
+    assert mu["nodeCount"] == 10 and mu["relationshipCount"] == 11
+    assert mu["edgesParquetBytes"] > 0 and mu["verticesParquetBytes"] > 0
+    assert mu["predictedStateMb"] >= 0 and mu["predictedShuffleMb"] >= 0
