@@ -220,22 +220,36 @@ class SuperstepLoop:
         """
         t0 = time.monotonic()
         durable = self.dir is not None and superstep % self.checkpoint_interval == 0
-        if durable:
-            path = self._state_path(superstep)
-            state.write.mode("overwrite").parquet(path)
-            out = self.spark.read.parquet(path)
-        elif os.environ.get("SPARK_GRAFT_COMMIT_MODE", "local") == "roundtrip":
-            # Parquet round-trip on tmpfs instead of a heap-cached
-            # localCheckpoint: committed states live compressed in the page
-            # cache, not as deserialized rows in executor storage memory —
-            # long loops stop degrading from storage-eviction/GC pressure
-            # (the late-superstep slowdown measured in BENCH r3 scaling).
-            out = materialize_roundtrip(state, tag=f"commit_{self.name}", keep_last=None)
-        else:
-            out = state.localCheckpoint(eager=True)
-            if self.auto_free_prev and self._prev_cached is not None:
-                free_checkpointed(self._prev_cached)
-            self._prev_cached = out
+        # AQE off for the superstep job only: adaptive execution re-plans
+        # every materialization stage-by-stage (ResultQueryStage barriers),
+        # pure overhead for loops whose per-round sizes are stable and
+        # known. A/B at the 20M-edge bench graph, local[8], 4 runs per
+        # setting interleaved: median-of-4 superstep 5.55 s (off) vs
+        # 6.55 s (on), min 4.92 vs 5.98 — a consistent ~15%. Restored
+        # immediately after the action so one-shot analytic queries
+        # (similarity, triangles) keep AQE's skew handling.
+        aqe_prev = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
+        if os.environ.get("SPARK_GRAFT_LOOP_AQE") != "1":
+            self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            if durable:
+                path = self._state_path(superstep)
+                state.write.mode("overwrite").parquet(path)
+                out = self.spark.read.parquet(path)
+            elif os.environ.get("SPARK_GRAFT_COMMIT_MODE", "local") == "roundtrip":
+                # Parquet round-trip on tmpfs instead of a heap-cached
+                # localCheckpoint: committed states live compressed in the page
+                # cache, not as deserialized rows in executor storage memory —
+                # long loops stop degrading from storage-eviction/GC pressure
+                # (the late-superstep slowdown measured in BENCH r3 scaling).
+                out = materialize_roundtrip(state, tag=f"commit_{self.name}", keep_last=None)
+            else:
+                out = state.localCheckpoint(eager=True)
+                if self.auto_free_prev and self._prev_cached is not None:
+                    free_checkpointed(self._prev_cached)
+                self._prev_cached = out
+        finally:
+            self.spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
         wall_ms = (time.monotonic() - t0) * 1000.0
         if observation is not None:
             merged = dict(counters or {})
