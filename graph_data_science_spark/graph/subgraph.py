@@ -133,6 +133,58 @@ def rwr_sample(
     return LinkGraph(edges=induced, vertices=sample.select(F.col("node").alias("node_id")))
 
 
+def cnarw_edge_bias(graph: LinkGraph) -> DataFrame:
+    """Per-edge CNARW acceptance bias over the symmetrized simple graph
+    (reference ``graph-sampling/.../cnarw/CommonNeighbourAwareNextNodeStrategy.java:51-81``):
+    for every adjacent pair (u, v),
+    ``overlap = |N(u) ∩ N(v)| / min(|N(u)|, |N(v)|)`` (OverlapSimilarity on
+    the two adjacency lists) and the walker accepts a uniform candidate v
+    with probability ``bias = 1 − overlap`` — the defining math of the
+    sampler, factored out so it can be verified standalone (and reused by
+    :func:`cnarw_sample`).
+
+    Returns (u, v, cn, du, dv, ov, bias) — one row per DIRECTED adjacent
+    pair of the symmetrized graph. Distributed shape: a shared-neighbor
+    join restricted to edges (O(wedges incident to edges), never
+    all-pairs); the join keys are node ids (uniform under hashing), hot
+    hubs are AQE skew-join's case.
+    """
+    und = (
+        graph.edges.select("src", "dst")
+        .union(graph.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    degs = und.groupBy("src").agg(F.count("*").alias("deg"))
+    za = und.select(F.col("src").alias("u"), F.col("dst").alias("z"))
+    zb = und.select(F.col("src").alias("v"), F.col("dst").alias("z"))
+    common = (
+        und.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .join(za, "u")
+        .join(zb, ["v", "z"])
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("cn"))
+    )
+    du = degs.select(F.col("src").alias("u"), F.col("deg").alias("du"))
+    dv = degs.select(F.col("src").alias("v"), F.col("deg").alias("dv"))
+    ov = F.coalesce("cn", F.lit(0)) / F.least("du", "dv")
+    return (
+        und.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .join(common, ["u", "v"], "left")
+        .join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            F.coalesce("cn", F.lit(0)).alias("cn"),
+            "du",
+            "dv",
+            ov.alias("ov"),
+            (F.lit(1.0) - ov).alias("bias"),
+        )
+    )
+
+
 def cnarw_sample(
     graph: LinkGraph,
     start_nodes: DataFrame,
@@ -185,28 +237,9 @@ def cnarw_sample(
     adj.count()
     degs = adj.select("src", "deg").distinct()
 
-    # overlap(u,v) for adjacent (u,v): |N(u) ∩ N(v)| / min(deg u, deg v).
-    za = und.select(F.col("src").alias("u"), F.col("dst").alias("z"))
-    zb = und.select(F.col("src").alias("v"), F.col("dst").alias("z"))
-    common = (
-        und.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .join(za, "u")
-        .join(zb, ["v", "z"])
-        .groupBy("u", "v")
-        .agg(F.count("*").alias("cn"))
-    )
-    du = degs.select(F.col("src").alias("u"), F.col("deg").alias("du"))
-    dv = degs.select(F.col("src").alias("v"), F.col("deg").alias("dv"))
     overlap = (
-        und.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .join(common, ["u", "v"], "left")
-        .join(du, "u")
-        .join(dv, "v")
-        .select(
-            "u",
-            "v",
-            (F.coalesce("cn", F.lit(0)) / F.least("du", "dv")).alias("ov"),
-        )
+        cnarw_edge_bias(graph)
+        .select("u", "v", "ov")
         .persist()
     )
     overlap.count()

@@ -738,6 +738,7 @@ def _merge_ext() -> None:
         queries_ext16,
         queries_ext17,
         queries_ext18,
+        queries_ext19,
     )
 
     for mod, qname, oname in (
@@ -759,6 +760,7 @@ def _merge_ext() -> None:
         (queries_ext16, "QUERIES_EXT16", "ORACLES_EXT16"),
         (queries_ext17, "QUERIES_EXT17", "ORACLES_EXT17"),
         (queries_ext18, "QUERIES_EXT18", "ORACLES_EXT18"),
+        (queries_ext19, "QUERIES_EXT19", "ORACLES_EXT19"),
     ):
         # When an ext module is imported FIRST (tools/tests), it imports this
         # module, whose end-of-module merge then sees the ext module only
