@@ -541,6 +541,14 @@ _COMMUNITY_STATS_ALGOS = {
 # :51-68 communitySummary). percentile_approx is the Spark-idiomatic
 # analog: a mergeable sketch aggregated in one pass, map-side partials,
 # nothing per-node ever reaches the driver.
+# Community-shaped algorithms additionally accept the reference's two
+# result-shaping options (CommunityCompanion.java:100-111, wired through
+# every community stream/write config): ``min_community_size`` and
+# ``consecutive_ids``, applied by the facade AFTER the algorithm exactly
+# like the reference's procedure layer. SLLPA is excluded: its result is
+# an overlapping-membership set, which the reference does not densify.
+_COMMUNITY_POST_ALGOS = (_COMPONENT_STATS_ALGOS | _COMMUNITY_STATS_ALGOS) - {"sllpa"}
+
 _CENTRALITY_PCTS = [50.0, 75.0, 90.0, 95.0, 99.0, 99.9]
 _COMMUNITY_PCTS = [1.0, 5.0, 10.0, 25.0, 50.0, 75.0, 90.0, 95.0, 99.0, 99.9]
 _PCT_ACCURACY = 10000
@@ -603,9 +611,20 @@ class Procedures:
                 f"unknown algorithm {algo!r}; known: "
                 f"{sorted([*ALGORITHMS, *self._registered])}"
             )
+        post_cfg: dict[str, Any] = {}
+        if algo in _COMMUNITY_POST_ALGOS:
+            for key in ("min_community_size", "consecutive_ids"):
+                if key in config:
+                    post_cfg[key] = config.pop(key)
         graph = self.catalog.get(graph_name)
         t0 = time.monotonic()
         result = fn(graph, **config)
+        if post_cfg:
+            from graph_data_science_spark.algorithms.community_post import (
+                community_postprocess,
+            )
+
+            result = community_postprocess(result, community_col="score", **post_cfg)
         return result, time.monotonic() - t0
 
     def stream(self, algo: str, graph_name: str, **config) -> DataFrame:

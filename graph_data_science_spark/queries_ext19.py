@@ -56,3 +56,52 @@ JOIN deg dv ON dv.s = p.d
 
 QUERIES_EXT19["cnarw_overlap_bias"] = q_cnarw_overlap_bias
 ORACLES_EXT19["cnarw_overlap_bias"] = Q_CNARW_SQL
+
+
+# --- community post-processing (CommunityCompanion analog) -----------------
+# ``minCommunitySize`` + ``consecutiveIds`` applied to WCC over the order
+# chains (reference CommunityCompanion.java:100-111,
+# ConsecutiveLongNodePropertyValues.java:46-59): whole components below the
+# size bar are dropped FIRST, then surviving ids densify to 0..k-1 in
+# first-appearance (min surviving node id) order. On this fixture the raw
+# component id IS the component's min node id, so first-appearance order ==
+# component-id order and DENSE_RANK replays the mapping exactly.
+
+
+def q_wcc_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graph_data_science_spark.algorithms.community_post import (
+        community_postprocess,
+    )
+    from graph_data_science_spark.algorithms.wcc import wcc
+    from graph_data_science_spark.queries import _order_chain_graph
+
+    g = _order_chain_graph(spark, sf_dir)
+    comps = wcc(g).components
+    return community_postprocess(
+        comps,
+        community_col="component",
+        min_community_size=10,
+        consecutive_ids=True,
+    ).select("node_id", "component")
+
+
+Q_WCC_CONSECUTIVE_SQL = """
+WITH comp AS (
+    SELECT CAST(o_orderkey AS BIGINT) AS node_id,
+           CAST(MIN(o_orderkey) OVER (PARTITION BY o_custkey) AS BIGINT) AS component
+    FROM orders
+),
+kept AS (
+    SELECT node_id, component
+    FROM (SELECT node_id, component,
+                 COUNT(*) OVER (PARTITION BY component) AS sz
+          FROM comp)
+    WHERE sz >= 10
+)
+SELECT node_id,
+       CAST(DENSE_RANK() OVER (ORDER BY component) - 1 AS BIGINT) AS component
+FROM kept
+"""
+
+QUERIES_EXT19["wcc_consecutive_chains"] = q_wcc_consecutive
+ORACLES_EXT19["wcc_consecutive_chains"] = Q_WCC_CONSECUTIVE_SQL
