@@ -56,6 +56,23 @@ class LouvainResult:
     communities: DataFrame  # (node_id long, community long)
     modularities: list  # final modularity per level
     ran_levels: int
+    # (node_id, intermediate_communities array<long>) when requested:
+    # element i = the node's community after level i (the reference's
+    # dendrogram, ``Louvain.java:111-125`` — intermediateCommunityIds
+    # has length ranLevels, last element == the final community).
+    intermediate: DataFrame | None = None
+
+
+def _intermediate_frame(node_ids: DataFrame, snapshots: list[DataFrame]) -> DataFrame:
+    """Zip per-level (node_id, community) snapshots into one array column.
+    ≤ max_levels equi-joins on node_id — co-partitioned after the first
+    shuffle, so the zip costs one exchange regardless of level count."""
+    df = node_ids.select("node_id")
+    cols = []
+    for i, snap in enumerate(snapshots):
+        df = df.join(snap.withColumnRenamed("community", f"_l{i}"), "node_id")
+        cols.append(F.col(f"_l{i}"))
+    return df.select("node_id", F.array(*cols).alias("intermediate_communities"))
 
 
 def _sym_and_loops(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -215,14 +232,18 @@ def louvain(
     max_levels: int = 10,
     max_inner_iterations: int = 10,
     tolerance: float = 1e-4,
+    include_intermediate: bool = False,
 ) -> LouvainResult:
     """Communities over the undirected interpretation of the graph. The
     returned community ids are the (level-contracted) representative node
     ids — stable for a fixed input, arbitrary otherwise, like the
-    reference's (canonicalize per-community downstream if needed)."""
+    reference's (canonicalize per-community downstream if needed).
+    ``include_intermediate`` additionally returns the per-level dendrogram
+    (the reference's ``includeIntermediateCommunities`` stream option)."""
     edges = graph.edges.select("src", "dst", F.col("weight").cast("double").alias("weight"))
     mapping = graph.node_ids().select("node_id", F.col("node_id").alias("community"))
     modularities: list[float] = []
+    snapshots: list[DataFrame] = []
     levels = 0
     _mark = roundtrip_mark()
     for _lvl in range(max_levels):
@@ -239,6 +260,8 @@ def louvain(
             )
         )
         mapping = new_mapping
+        if include_intermediate:
+            snapshots.append(mapping)
         if n_comms == n_before:
             break  # nothing contracted — fixpoint
         if len(modularities) >= 2 and q - modularities[-2] < tolerance:
@@ -252,8 +275,16 @@ def louvain(
             .agg(F.sum("weight").alias("weight"))
         )
         edges = new_edges
-    roundtrip_release(_mark, keep=[mapping])
-    return LouvainResult(communities=mapping, modularities=modularities, ran_levels=levels)
+    roundtrip_release(_mark, keep=[mapping, *snapshots])
+    intermediate = (
+        _intermediate_frame(graph.node_ids(), snapshots) if include_intermediate else None
+    )
+    return LouvainResult(
+        communities=mapping,
+        modularities=modularities,
+        ran_levels=levels,
+        intermediate=intermediate,
+    )
 
 
 def modularity_optimization(
@@ -304,6 +335,7 @@ def leiden(
     max_levels: int = 10,
     max_inner_iterations: int = 10,
     tolerance: float = 1e-4,
+    include_intermediate: bool = False,
 ) -> LouvainResult:
     """Leiden community detection (reference ``algo/.../leiden/Leiden.java:44``).
 
@@ -324,6 +356,7 @@ def leiden(
     edges = graph.edges.select("src", "dst", F.col("weight").cast("double").alias("weight"))
     mapping = graph.node_ids().select("node_id", F.col("node_id").alias("community"))
     modularities: list[float] = []
+    snapshots: list[DataFrame] = []
     levels = 0
     _mark = roundtrip_mark()
     for _lvl in range(max_levels):
@@ -349,6 +382,8 @@ def leiden(
             ),
             tag="leiden_map",
         )
+        if include_intermediate:
+            snapshots.append(mapping)
         if n_comms == n_before:
             break
         if len(modularities) >= 2 and q - modularities[-2] < tolerance:
@@ -361,5 +396,13 @@ def leiden(
             .agg(F.sum("weight").alias("weight")),
             tag="leiden_edges",
         )
-    roundtrip_release(_mark, keep=[mapping])
-    return LouvainResult(communities=mapping, modularities=modularities, ran_levels=levels)
+    roundtrip_release(_mark, keep=[mapping, *snapshots])
+    intermediate = (
+        _intermediate_frame(graph.node_ids(), snapshots) if include_intermediate else None
+    )
+    return LouvainResult(
+        communities=mapping,
+        modularities=modularities,
+        ran_levels=levels,
+        intermediate=intermediate,
+    )

@@ -74,7 +74,12 @@ def _triangle_count(graph: LinkGraph, **cfg) -> DataFrame:
 def _louvain(graph: LinkGraph, **cfg) -> DataFrame:
     from graph_data_science_spark.algorithms.louvain import louvain
 
-    return louvain(graph, **cfg).communities.withColumnRenamed("community", "score")
+    res = louvain(graph, **cfg)
+    out = res.communities.withColumnRenamed("community", "score")
+    if res.intermediate is not None:
+        # the reference's includeIntermediateCommunities stream column
+        out = out.join(res.intermediate, "node_id")
+    return out
 
 
 def _betweenness(graph: LinkGraph, **cfg) -> DataFrame:
@@ -109,9 +114,11 @@ def _hits(graph: LinkGraph, **cfg) -> DataFrame:
 def _leiden(graph: LinkGraph, **cfg) -> DataFrame:
     from graph_data_science_spark.algorithms.louvain import leiden
 
-    return leiden(graph, **cfg).communities.select(
-        "node_id", F.col("community").alias("score")
-    )
+    res = leiden(graph, **cfg)
+    out = res.communities.select("node_id", F.col("community").alias("score"))
+    if res.intermediate is not None:
+        out = out.join(res.intermediate, "node_id")
+    return out
 
 
 def _modularity_optimization(graph: LinkGraph, **cfg) -> DataFrame:
