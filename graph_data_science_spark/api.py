@@ -83,8 +83,16 @@ def _louvain(graph: LinkGraph, **cfg) -> DataFrame:
 
 
 def _betweenness(graph: LinkGraph, **cfg) -> DataFrame:
-    from graph_data_science_spark.algorithms.betweenness import betweenness
+    # relationshipWeightProperty analog: weighted=True selects the
+    # Dijkstra-semantics traverser (WeightedForwardTraverser.java).
+    from graph_data_science_spark.algorithms.betweenness import (
+        betweenness,
+        betweenness_weighted,
+    )
 
+    if cfg.pop("weighted", False):
+        cfg.pop("max_depth", None)
+        return betweenness_weighted(graph, **cfg)
     return betweenness(graph, **cfg)
 
 
