@@ -19,6 +19,7 @@ dispatcher — the algorithm modules remain the single source of semantics.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Any, Callable
 
@@ -589,7 +590,12 @@ class Procedures:
     """``gds.<algo>.<mode>`` dispatcher over a :class:`GraphCatalog`."""
 
     def __init__(self, catalog: GraphCatalog) -> None:
+        from graph_data_science_spark.graph.models import ModelCatalog
+
         self.catalog = catalog
+        # gds.model.{list,exists,drop} + ModelCatalog.store/load analog;
+        # models persist as JSON beside the graph catalog's parquet dirs.
+        self.models = ModelCatalog(root=os.path.join(catalog.root, "_models"))
         self._registered: dict[str, Callable[..., DataFrame]] = {}
 
     def register_pregel(
