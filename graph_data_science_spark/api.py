@@ -592,10 +592,15 @@ class Procedures:
     def __init__(self, catalog: GraphCatalog) -> None:
         from graph_data_science_spark.graph.models import ModelCatalog
 
+        from graph_data_science_spark.ml.pipeline_catalog import PipelineCatalog
+
         self.catalog = catalog
         # gds.model.{list,exists,drop} + ModelCatalog.store/load analog;
         # models persist as JSON beside the graph catalog's parquet dirs.
         self.models = ModelCatalog(root=os.path.join(catalog.root, "_models"))
+        # gds.pipeline.{list,exists,drop} + the builder procs
+        # (gds.beta.pipeline.<kind>.create/addNodeProperty/.../train).
+        self.pipelines = PipelineCatalog()
         self._registered: dict[str, Callable[..., DataFrame]] = {}
 
     def register_pregel(

@@ -29,9 +29,19 @@ from graph_data_science_spark.ml.pipelines import (
     link_prediction_pipeline,
     node_classification_pipeline,
 )
+from graph_data_science_spark.ml.pipeline_catalog import (
+    LinkPredictionPipeline,
+    NodeClassificationPipeline,
+    NodeRegressionPipeline,
+    PipelineCatalog,
+)
 
 __all__ = [
+    "LinkPredictionPipeline",
     "LinkPredictionResult",
+    "NodeClassificationPipeline",
+    "NodeRegressionPipeline",
+    "PipelineCatalog",
     "LogisticRegressionModel",
     "NodeClassificationResult",
     "NodeRegressionResult",
