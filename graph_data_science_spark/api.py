@@ -19,6 +19,7 @@ dispatcher — the algorithm modules remain the single source of semantics.
 
 from __future__ import annotations
 
+import logging
 import os
 import time
 from typing import Any, Callable
@@ -586,6 +587,26 @@ def _distribution(df: DataFrame, col: str, pcts: list[float]) -> dict[str, Any]:
     return out
 
 
+class _UserLogHandler(logging.Handler):
+    """Captures WARNING+ records from the engine's loggers into the owning
+    dispatcher's user log, attributed to the task running at emit time —
+    the ``gds.userLog`` analog (reference ``UserLogProc.java`` backed by
+    per-task ``UserLogRegistry`` warnings)."""
+
+    def __init__(self, procs: "Procedures") -> None:
+        super().__init__(level=logging.WARNING)
+        self._procs = procs
+
+    def emit(self, record: logging.LogRecord) -> None:  # pragma: no cover - trivial
+        self._procs._user_log.append(
+            {
+                "taskName": self._procs._current_task or "(no task)",
+                "message": record.getMessage(),
+                "level": record.levelname,
+            }
+        )
+
+
 class Procedures:
     """``gds.<algo>.<mode>`` dispatcher over a :class:`GraphCatalog`."""
 
@@ -602,6 +623,17 @@ class Procedures:
         # (gds.beta.pipeline.<kind>.create/addNodeProperty/.../train).
         self.pipelines = PipelineCatalog()
         self._registered: dict[str, Callable[..., DataFrame]] = {}
+        # gds.listProgress analog: one row per dispatched task. The
+        # reference shows only still-running tasks; a synchronous
+        # dispatcher would always show an empty list, so this keeps the
+        # session's task history (running → finished/failed) instead.
+        self._tasks: list[dict[str, Any]] = []
+        # gds.userLog analog: WARNING+ records emitted by the engine's
+        # own loggers while a task runs, attributed to that task.
+        self._user_log: list[dict[str, Any]] = []
+        self._log_handler = _UserLogHandler(self)
+        logging.getLogger("graph_data_science_spark").addHandler(self._log_handler)
+        self._current_task: str | None = None
 
     def register_pregel(
         self,
@@ -643,15 +675,30 @@ class Procedures:
                 if key in config:
                     post_cfg[key] = config.pop(key)
         graph = self.catalog.get(graph_name)
+        task = {"taskName": f"{algo} :: {graph_name}", "status": "running",
+                "config": dict(config)}
+        self._tasks.append(task)
+        self._current_task = task["taskName"]
         t0 = time.monotonic()
-        result = fn(graph, **config)
-        if post_cfg:
-            from graph_data_science_spark.algorithms.community_post import (
-                community_postprocess,
-            )
+        try:
+            result = fn(graph, **config)
+            if post_cfg:
+                from graph_data_science_spark.algorithms.community_post import (
+                    community_postprocess,
+                )
 
-            result = community_postprocess(result, community_col="score", **post_cfg)
-        return result, time.monotonic() - t0
+                result = community_postprocess(
+                    result, community_col="score", **post_cfg
+                )
+        except Exception:
+            task["status"] = "failed"
+            task["seconds"] = time.monotonic() - t0
+            raise
+        finally:
+            self._current_task = None
+        task["status"] = "finished"
+        task["seconds"] = time.monotonic() - t0
+        return result, task["seconds"]
 
     def stream(self, algo: str, graph_name: str, **config) -> DataFrame:
         """Per-node results as a DataFrame (gds.<algo>.stream)."""
@@ -717,6 +764,70 @@ class Procedures:
         self.catalog.project(graph_name, mutated, overwrite=True)
         return {"nodePropertiesWritten": prop.count(), "mutateProperty": mutate_property,
                 "computeSeconds": wall}
+
+    # -- operability procs (gds.list / listProgress / userLog / memory.*) --
+    def list_procedures(self, like: str | None = None) -> list[dict[str, str]]:
+        """gds.list analog (reference ``ListProc.java``): every callable
+        surface this dispatcher exposes — algorithm × mode, catalog ops,
+        model/pipeline catalog ops — with a one-line description."""
+        rows = []
+        for name, fn in sorted({**ALGORITHMS, **self._registered}.items()):
+            desc = (fn.__doc__ or "").strip().splitlines()
+            desc = desc[0] if desc else f"{name} algorithm"
+            for mode in ("stream", "stats", "mutate", "write"):
+                rows.append({"name": f"gds.{name}.{mode}", "description": desc})
+        for holder, prefix in (
+            (self.catalog, "gds.graph"),
+            (self.models, "gds.model"),
+            (self.pipelines, "gds.pipeline"),
+        ):
+            for attr in sorted(dir(holder)):
+                if attr.startswith("_"):
+                    continue
+                m = getattr(holder, attr)
+                if not callable(m):
+                    continue
+                desc = (m.__doc__ or "").strip().splitlines()
+                rows.append(
+                    {"name": f"{prefix}.{attr}", "description": desc[0] if desc else ""}
+                )
+        if like:
+            rows = [r for r in rows if like.lower() in r["name"].lower()]
+        return rows
+
+    def list_progress(self) -> list[dict[str, Any]]:
+        """gds.listProgress analog: this session's dispatched tasks with
+        status running/finished/failed and wall seconds. (The reference
+        lists only still-running tasks; a synchronous dispatcher keeps the
+        session history instead — documented deviation.)"""
+        return [dict(t) for t in self._tasks]
+
+    def user_log(self) -> list[dict[str, Any]]:
+        """gds.userLog analog: WARNING+ messages the engine emitted,
+        attributed to the task that was running."""
+        return [dict(r) for r in self._user_log]
+
+    def memory_list(self) -> list[dict[str, Any]]:
+        """gds.memory.list analog: per-graph footprint + pre-run memory
+        prediction for every catalogued graph."""
+        return [self.catalog.memory_usage(m["name"]) for m in self.catalog.list()]
+
+    def memory_summary(self) -> dict[str, Any]:
+        """gds.memory.summary analog: catalog-wide totals."""
+        rows = self.memory_list()
+        return {
+            "graphCount": len(rows),
+            "totalNodeCount": sum(r["nodeCount"] for r in rows),
+            "totalRelationshipCount": sum(r["relationshipCount"] for r in rows),
+            "totalParquetBytes": sum(
+                r["edgesParquetBytes"] + r["verticesParquetBytes"] for r in rows
+            ),
+            "totalPredictedStateMb": round(sum(r["predictedStateMb"] for r in rows), 2),
+            "totalPredictedShuffleMb": round(
+                sum(r["predictedShuffleMb"] for r in rows), 2
+            ),
+            "modelCount": self.models.model_count(),
+        }
 
     def write(self, algo: str, graph_name: str, path: str, **config) -> dict[str, Any]:
         """Persist per-node results to the backing store (gds.<algo>.write;

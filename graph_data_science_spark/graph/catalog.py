@@ -18,6 +18,7 @@ import shutil
 import time
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from graph_data_science_spark.graph.build import LinkGraph
 
@@ -258,3 +259,159 @@ class GraphCatalog:
             "predictedStateMb": round(v * 32 / 1e6, 2),
             "predictedShuffleMb": round(e * 24 / 1e6, 2),
         }
+
+    def project_sql(
+        self,
+        name: str,
+        node_query: str | None,
+        relationship_query: str,
+        overwrite: bool = False,
+    ) -> dict:
+        """gds.graph.project.cypher analog (reference
+        ``GraphProjectCypherProc.java``; the Snowflake ingestion contract
+        `snowgraph/tpch-example.sql:100-117` is the same two-query shape):
+        project a named graph from two Spark SQL queries. The node query
+        must return ``node_id`` (+ any property columns, or be None to
+        infer nodes from edge endpoints); the relationship query must
+        return ``src, dst`` (+ optional ``weight``, default 1.0)."""
+        edges = self.spark.sql(relationship_query)
+        if "src" not in edges.columns or "dst" not in edges.columns:
+            raise ValueError("relationship query must return src and dst columns")
+        if "weight" not in edges.columns:
+            edges = edges.withColumn("weight", F.lit(1.0))
+        edges = edges.select(
+            F.col("src").cast("long"),
+            F.col("dst").cast("long"),
+            F.col("weight").cast("double"),
+        )
+        vertices = None
+        if node_query is not None:
+            vertices = self.spark.sql(node_query)
+            if "node_id" not in vertices.columns:
+                raise ValueError("node query must return a node_id column")
+            vertices = vertices.withColumn("node_id", F.col("node_id").cast("long"))
+        g = LinkGraph(edges=edges, vertices=vertices)
+        self.project(name, g, overwrite=overwrite)
+        return {
+            "graphName": name,
+            "nodeCount": g.with_node_count(),
+            "relationshipCount": g.relationship_count(),
+        }
+
+    # ---- node labels (gds.graph.nodeLabel.{mutate,write}) ---------------
+    def mutate_node_label(self, name: str, node_label: str, node_filter: str) -> dict:
+        """gds.graph.nodeLabel.mutate analog (reference
+        ``GraphNodeLabelMutateProc`` / ``NodeLabelMutator.java``): add
+        ``node_label`` to every node satisfying ``node_filter`` (a Spark
+        SQL boolean expression over the vertex columns — superset of the
+        reference's filter language). Labels live in a ``labels``
+        array<string> vertex column, the IdMap label-membership analog
+        (`core-api/.../IdMap.java:109-131`)."""
+        g = self.get(name)
+        vertices = g.vertices if g.vertices is not None else g.node_ids()
+        if "labels" not in vertices.columns:
+            vertices = vertices.withColumn(
+                "labels", F.array().cast("array<string>")
+            )
+        hit = F.expr(node_filter) & ~F.array_contains(
+            F.col("labels"), F.lit(node_label)
+        )
+        new_vertices = vertices.withColumn(
+            "labels",
+            F.when(
+                hit, F.concat(F.col("labels"), F.array(F.lit(node_label)))
+            ).otherwise(F.col("labels")),
+        )
+        n = new_vertices.filter(
+            F.array_contains(F.col("labels"), F.lit(node_label))
+        ).count()
+        # localCheckpoint: the overwrite targets the parquet the plan reads.
+        new_vertices = new_vertices.localCheckpoint(eager=True)
+        edges = g.edges.localCheckpoint(eager=True)
+        self.project(
+            name,
+            LinkGraph(edges=edges, vertices=new_vertices, node_count=g.node_count),
+            overwrite=True,
+        )
+        return {"graphName": name, "nodeLabel": node_label, "nodeCount": n}
+
+    def write_node_label(self, name: str, node_label: str, path: str) -> dict:
+        """gds.graph.nodeLabel.write analog: persist the (node_id) rows
+        carrying the label (parquet ≡ Iceberg append on a cluster)."""
+        g = self.get(name)
+        if g.vertices is None or "labels" not in g.vertices.columns:
+            raise ValueError(f"graph {name!r} has no node labels")
+        out = g.vertices.filter(
+            F.array_contains(F.col("labels"), F.lit(node_label))
+        ).select("node_id")
+        out.write.mode("overwrite").parquet(path)
+        n = self.spark.read.parquet(path).count()
+        return {"graphName": name, "nodeLabel": node_label, "nodeCount": n, "path": path}
+
+    # ---- graph properties (gds.graph.graphProperty.{stream,drop}) -------
+    def _manifest(self, name: str) -> dict:
+        if not self.exists(name):
+            raise KeyError(f"graph {name!r} not found in catalog")
+        return json.load(open(os.path.join(self._dir(name), "manifest.json")))
+
+    def _write_manifest(self, name: str, manifest: dict) -> None:
+        with open(os.path.join(self._dir(name), "manifest.json"), "w") as fh:
+            json.dump(manifest, fh)
+
+    def set_graph_property(self, name: str, key: str, value) -> None:
+        """Graph-level named value (reference ``GraphStore.addGraphProperty``;
+        proc surface gds.graph.graphProperty.*). Scalars or small lists —
+        stored in the manifest, snapshot-consistent with the graph."""
+        manifest = self._manifest(name)
+        manifest.setdefault("graph_properties", {})[key] = value
+        self._write_manifest(name, manifest)
+
+    def stream_graph_property(self, name: str, key: str):
+        """gds.graph.graphProperty.stream analog: the value(s) as rows."""
+        props = self._manifest(name).get("graph_properties", {})
+        if key not in props:
+            raise KeyError(f"graph property {key!r} not found on graph {name!r}")
+        v = props[key]
+        rows = [(x,) for x in v] if isinstance(v, list) else [(v,)]
+        return self.spark.createDataFrame(rows, ["propertyValue"])
+
+    def drop_graph_property(self, name: str, key: str) -> dict:
+        """gds.graph.graphProperty.drop analog."""
+        manifest = self._manifest(name)
+        props = manifest.get("graph_properties", {})
+        if key not in props:
+            raise KeyError(f"graph property {key!r} not found on graph {name!r}")
+        del props[key]
+        self._write_manifest(name, manifest)
+        return {"graphName": name, "graphProperty": key}
+
+    # ---- relationship ops beyond stream ---------------------------------
+    def drop_relationships(self, name: str, relationship_filter: str) -> dict:
+        """gds.graph.relationships.drop analog (reference
+        ``GraphDropRelationshipProc.java`` drops a relationship *type*;
+        with a single typed edge table the selector is a Spark SQL boolean
+        expression over (src, dst, weight, …), e.g. ``rel_type = 'TOOL'``
+        when a type column exists)."""
+        g = self.get(name)
+        keep = g.edges.filter(~F.expr(relationship_filter))
+        dropped = g.relationship_count() - keep.count()
+        keep = keep.localCheckpoint(eager=True)
+        vertices = (
+            g.vertices.localCheckpoint(eager=True) if g.vertices is not None else None
+        )
+        self.project(
+            name,
+            LinkGraph(edges=keep, vertices=vertices, node_count=g.node_count),
+            overwrite=True,
+        )
+        return {"graphName": name, "deletedRelationships": dropped}
+
+    def write_relationships(self, name: str, path: str) -> dict:
+        """gds.graph.relationship.write analog (reference
+        ``GraphWriteRelationshipProc.java``; the Snowflake contract's
+        ``gds.write_relationships`` `snowgraph/tpch-example.sql:195-200`):
+        persist the edge table back to storage."""
+        g = self.get(name)
+        g.edges.write.mode("overwrite").parquet(path)
+        n = self.spark.read.parquet(path).count()
+        return {"graphName": name, "relationshipsWritten": n, "path": path}
