@@ -595,12 +595,21 @@ class _UserLogHandler(logging.Handler):
 
     def __init__(self, procs: "Procedures") -> None:
         super().__init__(level=logging.WARNING)
-        self._procs = procs
+        # weakref: the handler must not keep a dead dispatcher alive (every
+        # Procedures instance registers one on the module logger); once the
+        # dispatcher is collected the handler detaches itself.
+        import weakref
+
+        self._procs = weakref.ref(procs)
 
     def emit(self, record: logging.LogRecord) -> None:  # pragma: no cover - trivial
-        self._procs._user_log.append(
+        procs = self._procs()
+        if procs is None:
+            logging.getLogger("graph_data_science_spark").removeHandler(self)
+            return
+        procs._user_log.append(
             {
-                "taskName": self._procs._current_task or "(no task)",
+                "taskName": procs._current_task or "(no task)",
                 "message": record.getMessage(),
                 "level": record.levelname,
             }
