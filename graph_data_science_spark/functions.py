@@ -193,3 +193,60 @@ def combined_similarity(pairs: list[tuple[Column, Column, str]]) -> Column:
         s = knn_similarity(a, b, metric)
         total = s if total is None else total + s
     return total / F.lit(float(len(pairs)))
+
+
+# -- gds.util.* / gds.version (reference
+# proc/common/src/main/java/org/neo4j/gds/functions/AsNodeFunc.java,
+# open-packaging/.../NodePropertyFunc.java, IsFiniteFunc.java,
+# OneHotEncodingFunc.java lives in ml/encoding; version in VersionFunc) ----
+
+def nan() -> Column:
+    """gds.util.NaN (``IsFiniteFunc.java`` companion constants)."""
+    return F.lit(float("nan"))
+
+
+def infinity() -> Column:
+    """gds.util.infinity."""
+    return F.lit(float("inf"))
+
+
+def is_finite(c: Column) -> Column:
+    """gds.util.isFinite: false for NaN and ±Infinity, as
+    ``Double.isFinite`` (nulls propagate as null, matching the Cypher
+    function's null contract)."""
+    return ~F.isnan(c) & (F.abs(c) != F.lit(float("inf")))
+
+
+def is_infinite(c: Column) -> Column:
+    """gds.util.isInfinite."""
+    return ~F.isnan(c) & (F.abs(c) == F.lit(float("inf")))
+
+
+def as_nodes(result, vertices, node_col: str = "node_id"):
+    """gds.util.asNode/asNodes analog (``AsNodeFunc.java:38``): re-attach
+    the full vertex rows to an algorithm result — a broadcast-friendly
+    join from result ids back to the vertex table (the reference resolves
+    ids against the transaction store; here the vertex DataFrame IS the
+    store)."""
+    return result.join(vertices, result[node_col] == vertices["node_id"], "left").drop(
+        vertices["node_id"]
+    )
+
+
+def node_property(graph, node_id: int, prop: str):
+    """gds.util.nodeProperty analog (``NodePropertyFunc.java:43``): one
+    node's property value from a catalogued graph. Driver-side scalar by
+    contract (the Cypher function returns a single value)."""
+    if graph.vertices is None or prop not in graph.vertices.columns:
+        raise KeyError(f"node property {prop!r} not found on graph")
+    row = graph.vertices.filter(F.col("node_id") == node_id).select(prop).first()
+    if row is None:
+        raise KeyError(f"node {node_id} not found")
+    return row[prop]
+
+
+def version() -> str:
+    """gds.version analog."""
+    from graph_data_science_spark import __version__
+
+    return __version__

@@ -123,3 +123,43 @@ def test_random_walk_visit_counts(spark):
     # total visits == total walk rows: 8 walks from nodes 0-3 run the full
     # 4 steps (cycle), node 4's 2 walks dead-end after the start visit
     assert sum(rows.values()) == 2 * 4 * 4 + 2 * 1
+
+
+def test_util_functions(spark):
+    from graph_data_science_spark import functions as gfn
+    from graph_data_science_spark.graph.build import LinkGraph
+
+    df = spark.createDataFrame(
+        [(0, 1.0), (1, float("nan")), (2, float("inf")), (3, float("-inf"))],
+        "node_id long, v double",
+    )
+    rows = {
+        r["node_id"]: (r["f"], r["i"])
+        for r in df.select(
+            "node_id",
+            gfn.is_finite(F.col("v")).alias("f"),
+            gfn.is_infinite(F.col("v")).alias("i"),
+        ).collect()
+    }
+    assert rows == {0: (True, False), 1: (False, False), 2: (False, True), 3: (False, True)}
+    c = df.select(gfn.nan().alias("n"), gfn.infinity().alias("inf")).first()
+    assert math.isnan(c["n"]) and math.isinf(c["inf"])
+
+    verts = spark.createDataFrame(
+        [(0, "a"), (1, "b")], "node_id long, name string"
+    )
+    res = spark.createDataFrame([(0, 0.5)], "node_id long, score double")
+    joined = gfn.as_nodes(res, verts).collect()
+    assert joined[0]["name"] == "a" and joined[0]["score"] == 0.5
+
+    g = LinkGraph(
+        edges=spark.createDataFrame([(0, 1, 1.0)], "src long, dst long, weight double"),
+        vertices=verts,
+        node_count=2,
+    )
+    assert gfn.node_property(g, 1, "name") == "b"
+    with pytest.raises(KeyError):
+        gfn.node_property(g, 9, "name")
+    with pytest.raises(KeyError):
+        gfn.node_property(g, 0, "missing")
+    assert isinstance(gfn.version(), str) and gfn.version()
