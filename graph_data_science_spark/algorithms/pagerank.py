@@ -100,6 +100,41 @@ def _normalized_edges(
     )
 
 
+def _sql_message_path(
+    norm_edges: DataFrame,
+    num_blocks: int | None,
+    hot_degree_threshold: int,
+    clustered: bool,
+):
+    """Build the cached edge side of the JVM-only message path, salting hot
+    sources when the graph is skewed.
+
+    Returns ``(prepped_edges, msg_fn)``. The common (unskewed) case is the
+    plain ``prep_edges_sql`` + single-key join — unchanged plan, one cheap
+    cached aggregate added at build to *prove* there is no hot source. When
+    some source's out-degree exceeds ``hot_degree_threshold`` (a mega-hub
+    entity in the transcript link graph), the cache is re-clustered on
+    ``(src, salt)`` and every superstep joins salted — the hub's gather
+    becomes ``ceil(degree/threshold)`` parallel tasks instead of one
+    straggler that AQE (disabled inside superstep commits) cannot split.
+    SQL-path analog of ``build_blocks``'s DEGREE salting; reference
+    ``core/.../partition/PartitionUtils.java:126-204``.
+    """
+    from graph_data_science_spark.pregel.spmv import (
+        detect_hot_sources,
+        prep_edges_sql_salted,
+        spmv_messages_sql_salted,
+    )
+
+    prepped = prep_edges_sql(norm_edges, num_partitions=num_blocks, clustered=clustered)
+    hot = detect_hot_sources(prepped, hot_degree_threshold)
+    if hot is None:
+        return prepped, (lambda active: spmv_messages_sql(prepped, active))
+    salted = prep_edges_sql_salted(prepped, hot, num_partitions=num_blocks)
+    prepped.unpersist()
+    return salted, (lambda active: spmv_messages_sql_salted(salted, hot, active))
+
+
 def _rank_loop(
     graph: LinkGraph,
     norm_edges: DataFrame,
@@ -131,8 +166,9 @@ def _rank_loop(
     else:
         # norm_edges came out of the window normalization already
         # hash-partitioned by src at num_blocks — skip the re-exchange.
-        prepped = prep_edges_sql(norm_edges, num_partitions=num_blocks, clustered=norm_clustered)
-        msg_fn = lambda active: spmv_messages_sql(prepped, active)  # noqa: E731
+        prepped, msg_fn = _sql_message_path(
+            norm_edges, num_blocks, hot_degree_threshold, clustered=norm_clustered
+        )
     # auto_free_prev=False: committed delta frames are retained in `pending`
     # until the next fold — _fold() frees them once summed.
     loop = SuperstepLoop(
@@ -422,6 +458,7 @@ def eigenvector(
     source_nodes: list[int] | None = None,
     checkpoint_dir: str | None = None,
     num_blocks: int | None = None,
+    hot_degree_threshold: int = 2_000_000,
 ) -> RankResult:
     """Eigenvector centrality, exact GDS semantics
     (reference EigenvectorComputation.java):
@@ -451,10 +488,14 @@ def eigenvector(
         # w / Σ_out w, positive weights; window-normalized output is already
         # src-clustered at num_blocks, so the prep adds no exchange.
         norm = _normalized_edges(graph, True, num_partitions=num_blocks)
-        prepped = prep_edges_sql(norm, num_partitions=num_blocks, clustered=True)
+        prepped, msg_fn = _sql_message_path(
+            norm, num_blocks, hot_degree_threshold, clustered=True
+        )
     else:
         norm = graph.edges.select("src", "dst", F.lit(1.0).alias("norm_w"))
-        prepped = prep_edges_sql(norm, num_partitions=num_blocks)
+        prepped, msg_fn = _sql_message_path(
+            norm, num_blocks, hot_degree_threshold, clustered=False
+        )
     loop = SuperstepLoop(
         spark,
         "eigenvector",
@@ -492,7 +533,7 @@ def eigenvector(
         if l2_prev == 0.0:
             converged = True  # zero vector is a fixed point; nothing to send
             break
-        msgs = spmv_messages_sql(prepped, y.select("node", F.col("y").alias("msg_val")))
+        msgs = msg_fn(y.select("node", F.col("y").alias("msg_val")))
         obs = Observation()
         new = (
             y.join(msgs, y["node"] == msgs["dst"], "left")

@@ -588,32 +588,48 @@ def _distribution(df: DataFrame, col: str, pcts: list[float]) -> dict[str, Any]:
 
 
 class _UserLogHandler(logging.Handler):
-    """Captures WARNING+ records from the engine's loggers into the owning
+    """Captures WARNING+ records from the engine's loggers into every live
     dispatcher's user log, attributed to the task running at emit time —
     the ``gds.userLog`` analog (reference ``UserLogProc.java`` backed by
-    per-task ``UserLogRegistry`` warnings)."""
+    per-task ``UserLogRegistry`` warnings).
 
-    def __init__(self, procs: "Procedures") -> None:
+    ONE module-level instance fans out to a ``WeakSet`` of dispatchers:
+    dead dispatchers simply drop out of the set. (The previous design — a
+    self-detaching handler per ``Procedures`` — mutated
+    ``logger.handlers`` from inside ``callHandlers``'s iteration when a
+    dead handler removed itself, which silently skips the next handler in
+    the list: a live dispatcher could miss the very record that triggered
+    the cleanup.)"""
+
+    def __init__(self) -> None:
         super().__init__(level=logging.WARNING)
-        # weakref: the handler must not keep a dead dispatcher alive (every
-        # Procedures instance registers one on the module logger); once the
-        # dispatcher is collected the handler detaches itself.
         import weakref
 
-        self._procs = weakref.ref(procs)
+        self._procs: "weakref.WeakSet[Procedures]" = weakref.WeakSet()
+
+    def register(self, procs: "Procedures") -> None:
+        self._procs.add(procs)
 
     def emit(self, record: logging.LogRecord) -> None:  # pragma: no cover - trivial
-        procs = self._procs()
-        if procs is None:
-            logging.getLogger("graph_data_science_spark").removeHandler(self)
-            return
-        procs._user_log.append(
-            {
-                "taskName": procs._current_task or "(no task)",
-                "message": record.getMessage(),
-                "level": record.levelname,
-            }
-        )
+        for procs in list(self._procs):
+            procs._user_log.append(
+                {
+                    "taskName": procs._current_task or "(no task)",
+                    "message": record.getMessage(),
+                    "level": record.levelname,
+                }
+            )
+
+
+_LOG_HANDLER: _UserLogHandler | None = None
+
+
+def _ensure_log_handler() -> _UserLogHandler:
+    global _LOG_HANDLER
+    if _LOG_HANDLER is None:
+        _LOG_HANDLER = _UserLogHandler()
+        logging.getLogger("graph_data_science_spark").addHandler(_LOG_HANDLER)
+    return _LOG_HANDLER
 
 
 class Procedures:
@@ -640,8 +656,7 @@ class Procedures:
         # gds.userLog analog: WARNING+ records emitted by the engine's
         # own loggers while a task runs, attributed to that task.
         self._user_log: list[dict[str, Any]] = []
-        self._log_handler = _UserLogHandler(self)
-        logging.getLogger("graph_data_science_spark").addHandler(self._log_handler)
+        _ensure_log_handler().register(self)
         self._current_task: str | None = None
 
     def register_pregel(

@@ -295,3 +295,118 @@ def spmv_messages(blocked: BlockedEdges, state: DataFrame, value_col: str = "msg
         .applyInPandas(kernel, "dst long, msg double")
     )
     return partials.groupBy("dst").agg(F.sum("msg").alias("msg"))
+
+
+def detect_hot_sources(prepped_edges: DataFrame, hot_degree_threshold: int) -> DataFrame | None:
+    """Find sources whose out-degree exceeds ``hot_degree_threshold`` in a
+    prepped (src-clustered, cached) edge table.
+
+    Returns a tiny broadcastable DataFrame ``(src long, nsalt int)`` with
+    ``nsalt = ceil(degree / threshold)`` sub-groups per hot source, or
+    ``None`` when the graph has no hot sources (the common case — callers
+    then keep the plain single-key join path untouched).
+
+    Why this matters on the SQL message path: ``spmv_messages_sql`` joins
+    edges to state on ``src`` under the cached HashPartitioning(src), so a
+    mega-hub source (a tool entity linked from millions of turns in the
+    10^12-turn transcript graph) lands ALL its out-edges in one partition —
+    one straggler task per superstep that AQE cannot split (adaptive
+    execution is deliberately disabled inside superstep commits, see
+    ``superstep.py:commit``). This is the SQL-path analog of the Arrow
+    path's DEGREE-partitioning salting (``build_blocks``; reference
+    ``core/.../partition/PartitionUtils.java:126-204``).
+
+    Cost: one aggregate over the already-cached prep (clustering satisfied
+    → no exchange) + a driver collect bounded by |E|/threshold rows.
+    """
+    hot_rows = (
+        prepped_edges.groupBy("src")
+        .agg(F.count("*").alias("_deg"))
+        .filter(F.col("_deg") > hot_degree_threshold)
+        .select(
+            "src",
+            F.ceil(F.col("_deg") / F.lit(hot_degree_threshold)).cast("int").alias("nsalt"),
+        )
+        .collect()
+    )
+    if not hot_rows:
+        return None
+    spark = prepped_edges.sparkSession
+    return spark.createDataFrame(
+        [(int(r["src"]), int(r["nsalt"])) for r in hot_rows], "src long, nsalt int"
+    )
+
+
+def prep_edges_sql_salted(
+    prepped_edges: DataFrame, hot: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
+    """Re-cluster a prepped edge cache on ``(src, salt)`` so every hot
+    source's out-edges are spread across ``nsalt`` partitions.
+
+    ``salt = pmod(xxhash64(dst), nsalt)`` for hot sources (0 otherwise) —
+    the same dst-hash sub-grouping as the Arrow path's ``build_blocks``.
+    The result is hash-partitioned AND sorted on ``(src, salt)`` and
+    cached, so every superstep's SortMergeJoin still reads the edge side
+    exchange-free and sort-free; only the (small) state side is exchanged
+    per round, exactly as in the unsalted plan. Skewed graphs pay ONE
+    extra full-edge shuffle at build time and get flat superstep task
+    histograms in return.
+    """
+    spark = prepped_edges.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = (
+        prepped_edges.join(F.broadcast(hot), "src", "left")
+        .withColumn(
+            "salt",
+            F.when(
+                F.col("nsalt").isNotNull(),
+                F.pmod(F.xxhash64("dst"), F.col("nsalt")).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("nsalt")
+        .repartition(num_partitions, "src", "salt")
+    )
+    if os.environ.get("SPARK_GRAFT_SORT_EDGES", "1") == "1":
+        e = e.sortWithinPartitions("src", "salt")
+    e = e.persist()
+    e.count()
+    return e
+
+
+def spmv_messages_sql_salted(
+    prepped_salted: DataFrame, hot: DataFrame, state: DataFrame, value_col: str = "msg_val"
+) -> DataFrame:
+    """Salted twin of :func:`spmv_messages_sql` for skewed graphs.
+
+    State rows for hot sources are replicated to every salt sub-group
+    (a broadcast join against the tiny hot map + a sequence explode — the
+    replication factor is ``nsalt`` for the handful of hot nodes and 1 for
+    everything else), then joined on ``(src, salt)``. The per-partition
+    partial aggregation and the final ``groupBy(dst)`` combine are
+    unchanged — a hot source's gather work is now ``nsalt`` parallel tasks
+    instead of one straggler.
+    """
+    st = state.select(F.col("node"), F.col(value_col).cast("double").alias("_v"))
+    st = (
+        st.join(F.broadcast(hot.withColumnRenamed("src", "node")), "node", "left")
+        .withColumn(
+            "_salts",
+            F.when(
+                F.col("nsalt").isNotNull(),
+                F.sequence(F.lit(0), F.col("nsalt") - F.lit(1)),
+            ).otherwise(F.array(F.lit(0))),
+        )
+        .withColumn("_salt", F.explode("_salts"))
+        .withColumn("salt", F.col("_salt").cast("int"))
+        .drop("nsalt", "_salts", "_salt")
+    )
+    return (
+        prepped_salted.join(
+            st,
+            (prepped_salted["src"] == st["node"]) & (prepped_salted["salt"] == st["salt"]),
+            "inner",
+        )
+        .groupBy("dst")
+        .agg(F.sum(F.col("_v") * F.col("norm_w")).alias("msg"))
+    )

@@ -128,3 +128,18 @@ def test_memory_list_and_summary(procs):
     assert s["totalNodeCount"] == 5 and s["totalRelationshipCount"] == 4
     assert s["totalParquetBytes"] > 0
     assert s["modelCount"] == 0
+
+
+def test_user_log_survives_dead_dispatchers(procs, spark, tmp_path):
+    # Regression: with one self-detaching handler per dispatcher, dead
+    # handlers removing themselves inside callHandlers' list iteration
+    # skipped the next (live) handler — the triggering record was lost.
+    import gc
+    import logging
+
+    for i in range(40):
+        Procedures(GraphCatalog(spark, str(tmp_path / f"dead{i}")))
+    gc.collect()
+    logging.getLogger("graph_data_science_spark.purge").warning("after the purge")
+    log = procs.user_log()
+    assert log and log[-1]["message"] == "after the purge"
