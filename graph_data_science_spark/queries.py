@@ -740,6 +740,7 @@ def _merge_ext() -> None:
         queries_ext18,
         queries_ext19,
         queries_ext20,
+        queries_ext21,
     )
 
     for mod, qname, oname in (
@@ -763,6 +764,7 @@ def _merge_ext() -> None:
         (queries_ext18, "QUERIES_EXT18", "ORACLES_EXT18"),
         (queries_ext19, "QUERIES_EXT19", "ORACLES_EXT19"),
         (queries_ext20, "QUERIES_EXT20", "ORACLES_EXT20"),
+        (queries_ext21, "QUERIES_EXT21", "ORACLES_EXT21"),
     ):
         # When an ext module is imported FIRST (tools/tests), it imports this
         # module, whose end-of-module merge then sees the ext module only
