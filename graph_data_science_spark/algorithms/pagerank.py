@@ -217,7 +217,10 @@ def _rank_loop(
         for p in parts[1:]:
             out = out.union(p.select("node", "delta"))
         out = out.groupBy("node").agg(F.sum("delta").alias("delta"))
-        out = out.localCheckpoint(eager=True)
+        if loop.state_level is not None:
+            out = out.localCheckpoint(eager=True, storageLevel=loop.state_level)
+        else:
+            out = out.localCheckpoint(eager=True)
         for p in parts:  # folded frames are no longer needed — free the cache
             free_checkpointed(p)
         return out

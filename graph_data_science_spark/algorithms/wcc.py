@@ -30,6 +30,11 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from graph_data_science_spark.graph.build import LinkGraph
+from graph_data_science_spark.pregel.spmv import (
+    detect_hot_sources,
+    prep_edges_sql_salted,
+    replicate_state_for_salts,
+)
 from graph_data_science_spark.pregel.superstep import (
     SuperstepLoop,
     edge_lineage,
@@ -50,13 +55,25 @@ def wcc(
     max_iterations: int = 100,
     checkpoint_dir: str | None = None,
     seeds: DataFrame | None = None,
+    hot_degree_threshold: int = 2_000_000,
 ) -> WccResult:
     """``seeds``: optional (node_id, seed long) frame mirroring GDS
     ``seedProperty`` (``WccBaseConfig.java:32-39``,
     ``Wcc.java:101-104`` incremental DSS): seeded nodes start in their
     seed component; unseeded nodes get fresh ids above every seed
     (``max_seed + 1 + node_id``), so an unseeded node can never capture a
-    seeded component's id; merges still take the component minimum."""
+    seeded component's id; merges still take the component minimum.
+
+    ``hot_degree_threshold``: a vertex whose (symmetrized) degree exceeds
+    this has its edges salted across ``ceil(degree/threshold)``
+    sub-partitions for the per-round neighbor-min gather — same straggler
+    fix as the rank loops' SQL-path salting (min is reducible, so the
+    per-partition partial agg re-combines exactly). The pointer-doubling
+    self-join's skew (every member of a giant component probes the same
+    root row) is NOT salted here: that straggler is O(|V_component|) rows
+    of cheap merge-scan per round, and the contraction paths
+    (``wcc_star``/``wcc_sampled``) are the documented escape for
+    power-law graphs where it binds."""
     spark = graph.edges.sparkSession
     e = graph.edges
     if threshold is not None:
@@ -65,6 +82,11 @@ def wcc(
     sym = e.select("src", "dst").union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     sym = sym.repartition(spark.sparkContext.defaultParallelism, "src").persist()
     sym.count()
+    hot = detect_hot_sources(sym, hot_degree_threshold)
+    if hot is not None:
+        salted = prep_edges_sql_salted(sym, hot)
+        sym.unpersist()
+        sym = salted
 
     loop = SuperstepLoop(
         spark,
@@ -100,10 +122,15 @@ def wcc(
 
     it = start - 1
     for it in range(start, max_iterations + 1):
-        nbr_min = (
-            sym.join(labels, sym["src"] == labels["node"], "inner")
-            .groupBy(F.col("dst").alias("n"))
-            .agg(F.min("comp").alias("nbr_comp"))
+        if hot is None:
+            gathered = sym.join(labels, sym["src"] == labels["node"], "inner")
+        else:
+            lab_s = replicate_state_for_salts(labels.select("node", "comp"), hot)
+            gathered = sym.join(
+                lab_s, (sym["src"] == lab_s["node"]) & (sym["salt"] == lab_s["salt"]), "inner"
+            )
+        nbr_min = gathered.groupBy(F.col("dst").alias("n")).agg(
+            F.min("comp").alias("nbr_comp")
         )
         stepped = (
             labels.join(nbr_min, labels["node"] == nbr_min["n"], "left")

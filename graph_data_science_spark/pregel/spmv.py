@@ -374,6 +374,27 @@ def prep_edges_sql_salted(
     return e
 
 
+def replicate_state_for_salts(state: DataFrame, hot: DataFrame, key: str = "node") -> DataFrame:
+    """Add a ``salt`` column to a vertex-state frame for a salted edge join:
+    rows whose ``key`` is a hot source are duplicated once per salt
+    sub-group (``nsalt`` copies), everything else gets salt 0. The hot map
+    is tiny by construction, so this is a broadcast join + a bounded
+    explode — replication cost is O(|hot| × nsalt), not O(|V|)."""
+    return (
+        state.join(F.broadcast(hot.withColumnRenamed("src", key)), key, "left")
+        .withColumn(
+            "_salts",
+            F.when(
+                F.col("nsalt").isNotNull(),
+                F.sequence(F.lit(0), F.col("nsalt") - F.lit(1)),
+            ).otherwise(F.array(F.lit(0))),
+        )
+        .withColumn("_salt", F.explode("_salts"))
+        .withColumn("salt", F.col("_salt").cast("int"))
+        .drop("nsalt", "_salts", "_salt")
+    )
+
+
 def spmv_messages_sql_salted(
     prepped_salted: DataFrame, hot: DataFrame, state: DataFrame, value_col: str = "msg_val"
 ) -> DataFrame:
@@ -387,19 +408,8 @@ def spmv_messages_sql_salted(
     unchanged — a hot source's gather work is now ``nsalt`` parallel tasks
     instead of one straggler.
     """
-    st = state.select(F.col("node"), F.col(value_col).cast("double").alias("_v"))
-    st = (
-        st.join(F.broadcast(hot.withColumnRenamed("src", "node")), "node", "left")
-        .withColumn(
-            "_salts",
-            F.when(
-                F.col("nsalt").isNotNull(),
-                F.sequence(F.lit(0), F.col("nsalt") - F.lit(1)),
-            ).otherwise(F.array(F.lit(0))),
-        )
-        .withColumn("_salt", F.explode("_salts"))
-        .withColumn("salt", F.col("_salt").cast("int"))
-        .drop("nsalt", "_salts", "_salt")
+    st = replicate_state_for_salts(
+        state.select(F.col("node"), F.col(value_col).cast("double").alias("_v")), hot
     )
     return (
         prepped_salted.join(

@@ -40,6 +40,32 @@ METRICS_SCHEMA = (
     "lineage string, counters string"
 )
 
+# Vertex-state frames above this row count are localCheckpoint-ed
+# SERIALIZED (StorageLevel.MEMORY_AND_DISK, deserialized=False) instead of
+# the default deserialized level: at 80M+ state rows the deserialized
+# on-heap copies (~50-80 B/row object overhead vs 16 B of data) of the
+# retained fold frames alone exceed a heap sized for the *data* — the
+# 100M-edge constant-work run OOMs at the heap-per-core protocol's 36 g
+# without this (bench_experiments/, r3_100M notes). Serialized blocks are
+# several-fold smaller and spill to disk block-by-block instead of dying.
+_STATE_SER_MIN_ROWS = int(os.environ.get("SPARK_GRAFT_STATE_SER_MIN_ROWS", "50000000"))
+
+
+def state_storage_level(node_count: int | None):
+    """StorageLevel for committed in-memory superstep state, or ``None`` for
+    Spark's default (deserialized). Serialized above ``_STATE_SER_MIN_ROWS``
+    predicted state rows; ``SPARK_GRAFT_STATE_SER=1/0`` forces/disables."""
+    from pyspark.storagelevel import StorageLevel
+
+    forced = os.environ.get("SPARK_GRAFT_STATE_SER")
+    if forced == "1":
+        return StorageLevel.MEMORY_AND_DISK
+    if forced == "0":
+        return None
+    if node_count is not None and node_count >= _STATE_SER_MIN_ROWS:
+        return StorageLevel.MEMORY_AND_DISK
+    return None
+
 
 def free_checkpointed(df: DataFrame) -> None:
     """Actually release a ``localCheckpoint``-ed DataFrame's storage.
@@ -97,6 +123,9 @@ class SuperstepLoop:
         self._prev_cached: DataFrame | None = None
         self.memory_metrics: list[dict] = []
         self._prediction: dict | None = None
+        # StorageLevel for in-memory state commits; predict() flips it to
+        # serialized for large vertex sets (see state_storage_level).
+        self.state_level = state_storage_level(None)
 
     # -- memory estimation (reference DefaultMemoryGuard analog) ---------
     def predict(
@@ -119,8 +148,11 @@ class SuperstepLoop:
         less, so this is an upper bound, like the reference's estimates).
         """
         pred: dict = {}
+        self.state_level = state_storage_level(node_count)
         if node_count is not None:
             pred["predicted_state_mb"] = round(node_count * state_row_bytes / 1e6, 2)
+            if self.state_level is not None:
+                pred["state_storage"] = "serialized"
         if edge_count is not None:
             pred["predicted_shuffle_mb"] = round(edge_count * message_row_bytes / 1e6, 2)
         avail = self._available_memory_mb()
@@ -244,7 +276,10 @@ class SuperstepLoop:
                 # (the late-superstep slowdown measured in BENCH r3 scaling).
                 out = materialize_roundtrip(state, tag=f"commit_{self.name}", keep_last=None)
             else:
-                out = state.localCheckpoint(eager=True)
+                if self.state_level is not None:
+                    out = state.localCheckpoint(eager=True, storageLevel=self.state_level)
+                else:
+                    out = state.localCheckpoint(eager=True)
                 if self.auto_free_prev and self._prev_cached is not None:
                     free_checkpointed(self._prev_cached)
                 self._prev_cached = out

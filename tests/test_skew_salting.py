@@ -86,3 +86,36 @@ def test_eigenvector_scores_invariant_under_salting(spark):
     b = {r["node_id"]: r["score"] for r in hotp.scores.collect()}
     for n in a:
         assert b[n] == pytest.approx(a[n], abs=1e-9)
+
+
+def test_wcc_components_invariant_under_salting(spark):
+    from graph_data_science_spark.algorithms.wcc import wcc
+
+    g = _skewed_graph(spark)
+    plain = wcc(g)
+    salted = wcc(g, hot_degree_threshold=50)
+    a = {r["node_id"]: r["component"] for r in plain.components.collect()}
+    b = {r["node_id"]: r["component"] for r in salted.components.collect()}
+    assert a == b
+    assert set(a.values()) == {0}  # ring + hub is one component rooted at 0
+
+
+def test_serialized_state_commit_equal_scores(spark, monkeypatch):
+    # Large-V runs checkpoint state SERIALIZED (superstep.state_storage_level);
+    # forcing it on a small graph must not change any score.
+    from graph_data_science_spark.pregel import superstep as ss
+
+    g = _skewed_graph(spark)
+    base = pagerank(g, tolerance=1e-7, max_iterations=150)
+    monkeypatch.setenv("SPARK_GRAFT_STATE_SER", "1")
+    ser = pagerank(g, tolerance=1e-7, max_iterations=150)
+    monkeypatch.delenv("SPARK_GRAFT_STATE_SER")
+    a = {r["node_id"]: r["score"] for r in base.scores.collect()}
+    b = {r["node_id"]: r["score"] for r in ser.scores.collect()}
+    assert a == b  # same partitioning, same plan: bit-identical
+
+    from pyspark.storagelevel import StorageLevel
+
+    assert ss.state_storage_level(None) is None
+    assert ss.state_storage_level(10_000) is None
+    assert ss.state_storage_level(60_000_000) == StorageLevel.MEMORY_AND_DISK
