@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from graph_data_science_spark.graph.build import LinkGraph
-from graph_data_science_spark.pregel.spmv import prep_edges_sql, spmv_messages_sql
+from graph_data_science_spark.pregel.spmv import sql_message_path
 from graph_data_science_spark.pregel.superstep import SuperstepLoop, edge_lineage
 
 
@@ -44,16 +44,21 @@ def hits(
     hits_iterations: int = 20,
     checkpoint_dir: str | None = None,
     num_blocks: int | None = None,
+    hot_degree_threshold: int = 2_000_000,
 ) -> HitsResult:
     spark = graph.edges.sparkSession
-    fwd = prep_edges_sql(
-        graph.edges.select("src", "dst", F.lit(1.0).alias("norm_w")), num_partitions=num_blocks
+    # Both directions get the hot-source-salted message path: a hub's
+    # in-degree is the forward pass's straggler, its out-degree the
+    # reverse pass's (see spmv.sql_message_path).
+    fwd, fwd_msg = sql_message_path(
+        graph.edges.select("src", "dst", F.lit(1.0).alias("norm_w")),
+        num_blocks, hot_degree_threshold, clustered=False,
     )
-    rev = prep_edges_sql(
+    rev, rev_msg = sql_message_path(
         graph.edges.select(
             F.col("dst").alias("src"), F.col("src").alias("dst"), F.lit(1.0).alias("norm_w")
         ),
-        num_partitions=num_blocks,
+        num_blocks, hot_degree_threshold, clustered=False,
     )
     loop = SuperstepLoop(
         spark,
@@ -74,8 +79,8 @@ def hits(
     it = 0
     for it in range(1, hits_iterations + 1):
         # auth(v) = Σ hub(u)/‖hub‖ over in-edges of v.
-        msgs = spmv_messages_sql(
-            fwd, state.select("node", (F.col("hub") / F.lit(l2_hub)).alias("msg_val"))
+        msgs = fwd_msg(
+            state.select("node", (F.col("hub") / F.lit(l2_hub)).alias("msg_val"))
         )
         obs_a = Observation()
         new = (
@@ -87,8 +92,8 @@ def hits(
         l2_auth = float(obs_a.get.get("l2sq") or 0.0) ** 0.5 or 1.0
 
         # hub(u) = Σ auth(v)/‖auth‖ over out-edges of u.
-        msgs = spmv_messages_sql(
-            rev, state.select("node", (F.col("auth") / F.lit(l2_auth)).alias("msg_val"))
+        msgs = rev_msg(
+            state.select("node", (F.col("auth") / F.lit(l2_auth)).alias("msg_val"))
         )
         obs_h = Observation()
         new = (

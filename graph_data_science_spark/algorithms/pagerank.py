@@ -36,9 +36,8 @@ from pyspark.sql import functions as F
 from graph_data_science_spark.graph.build import LinkGraph
 from graph_data_science_spark.pregel.spmv import (
     build_blocks,
-    prep_edges_sql,
     spmv_messages,
-    spmv_messages_sql,
+    sql_message_path,
 )
 from graph_data_science_spark.pregel.superstep import (
     SuperstepLoop,
@@ -100,41 +99,6 @@ def _normalized_edges(
     )
 
 
-def _sql_message_path(
-    norm_edges: DataFrame,
-    num_blocks: int | None,
-    hot_degree_threshold: int,
-    clustered: bool,
-):
-    """Build the cached edge side of the JVM-only message path, salting hot
-    sources when the graph is skewed.
-
-    Returns ``(prepped_edges, msg_fn)``. The common (unskewed) case is the
-    plain ``prep_edges_sql`` + single-key join — unchanged plan, one cheap
-    cached aggregate added at build to *prove* there is no hot source. When
-    some source's out-degree exceeds ``hot_degree_threshold`` (a mega-hub
-    entity in the transcript link graph), the cache is re-clustered on
-    ``(src, salt)`` and every superstep joins salted — the hub's gather
-    becomes ``ceil(degree/threshold)`` parallel tasks instead of one
-    straggler that AQE (disabled inside superstep commits) cannot split.
-    SQL-path analog of ``build_blocks``'s DEGREE salting; reference
-    ``core/.../partition/PartitionUtils.java:126-204``.
-    """
-    from graph_data_science_spark.pregel.spmv import (
-        detect_hot_sources,
-        prep_edges_sql_salted,
-        spmv_messages_sql_salted,
-    )
-
-    prepped = prep_edges_sql(norm_edges, num_partitions=num_blocks, clustered=clustered)
-    hot = detect_hot_sources(prepped, hot_degree_threshold)
-    if hot is None:
-        return prepped, (lambda active: spmv_messages_sql(prepped, active))
-    salted = prep_edges_sql_salted(prepped, hot, num_partitions=num_blocks)
-    prepped.unpersist()
-    return salted, (lambda active: spmv_messages_sql_salted(salted, hot, active))
-
-
 def _rank_loop(
     graph: LinkGraph,
     norm_edges: DataFrame,
@@ -166,7 +130,7 @@ def _rank_loop(
     else:
         # norm_edges came out of the window normalization already
         # hash-partitioned by src at num_blocks — skip the re-exchange.
-        prepped, msg_fn = _sql_message_path(
+        prepped, msg_fn = sql_message_path(
             norm_edges, num_blocks, hot_degree_threshold, clustered=norm_clustered
         )
     # auto_free_prev=False: committed delta frames are retained in `pending`
@@ -491,12 +455,12 @@ def eigenvector(
         # w / Σ_out w, positive weights; window-normalized output is already
         # src-clustered at num_blocks, so the prep adds no exchange.
         norm = _normalized_edges(graph, True, num_partitions=num_blocks)
-        prepped, msg_fn = _sql_message_path(
+        prepped, msg_fn = sql_message_path(
             norm, num_blocks, hot_degree_threshold, clustered=True
         )
     else:
         norm = graph.edges.select("src", "dst", F.lit(1.0).alias("norm_w"))
-        prepped, msg_fn = _sql_message_path(
+        prepped, msg_fn = sql_message_path(
             norm, num_blocks, hot_degree_threshold, clustered=False
         )
     loop = SuperstepLoop(

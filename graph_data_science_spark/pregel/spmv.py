@@ -297,7 +297,9 @@ def spmv_messages(blocked: BlockedEdges, state: DataFrame, value_col: str = "msg
     return partials.groupBy("dst").agg(F.sum("msg").alias("msg"))
 
 
-def detect_hot_sources(prepped_edges: DataFrame, hot_degree_threshold: int) -> DataFrame | None:
+def detect_hot_sources(
+    prepped_edges: DataFrame, hot_degree_threshold: int, key: str = "src"
+) -> DataFrame | None:
     """Find sources whose out-degree exceeds ``hot_degree_threshold`` in a
     prepped (src-clustered, cached) edge table.
 
@@ -318,13 +320,18 @@ def detect_hot_sources(prepped_edges: DataFrame, hot_degree_threshold: int) -> D
 
     Cost: one aggregate over the already-cached prep (clustering satisfied
     → no exchange) + a driver collect bounded by |E|/threshold rows.
+
+    ``key``: the edge column the per-round state join keys on — ``src``
+    for push/gather-from-source loops (rank family, WCC), ``dst`` for
+    pull loops (label propagation votes). The returned hot map always
+    names its column ``src`` so the salting helpers compose either way.
     """
     hot_rows = (
-        prepped_edges.groupBy("src")
+        prepped_edges.groupBy(key)
         .agg(F.count("*").alias("_deg"))
         .filter(F.col("_deg") > hot_degree_threshold)
         .select(
-            "src",
+            F.col(key).alias("src"),
             F.ceil(F.col("_deg") / F.lit(hot_degree_threshold)).cast("int").alias("nsalt"),
         )
         .collect()
@@ -338,40 +345,78 @@ def detect_hot_sources(prepped_edges: DataFrame, hot_degree_threshold: int) -> D
 
 
 def prep_edges_sql_salted(
-    prepped_edges: DataFrame, hot: DataFrame, num_partitions: int | None = None
+    prepped_edges: DataFrame,
+    hot: DataFrame,
+    num_partitions: int | None = None,
+    key: str = "src",
+    spread: str = "dst",
 ) -> DataFrame:
-    """Re-cluster a prepped edge cache on ``(src, salt)`` so every hot
-    source's out-edges are spread across ``nsalt`` partitions.
+    """Re-cluster a prepped edge cache on ``(key, salt)`` so every hot
+    key's edges are spread across ``nsalt`` partitions.
 
-    ``salt = pmod(xxhash64(dst), nsalt)`` for hot sources (0 otherwise) —
-    the same dst-hash sub-grouping as the Arrow path's ``build_blocks``.
-    The result is hash-partitioned AND sorted on ``(src, salt)`` and
-    cached, so every superstep's SortMergeJoin still reads the edge side
-    exchange-free and sort-free; only the (small) state side is exchanged
-    per round, exactly as in the unsalted plan. Skewed graphs pay ONE
-    extra full-edge shuffle at build time and get flat superstep task
-    histograms in return.
+    ``salt = pmod(xxhash64(spread), nsalt)`` for hot keys (0 otherwise) —
+    the same other-endpoint-hash sub-grouping as the Arrow path's
+    ``build_blocks``. The result is hash-partitioned AND sorted on
+    ``(key, salt)`` and cached, so every superstep's SortMergeJoin still
+    reads the edge side exchange-free and sort-free; only the (small)
+    state side is exchanged per round, exactly as in the unsalted plan.
+    Skewed graphs pay ONE extra full-edge shuffle at build time and get
+    flat superstep task histograms in return.
     """
     spark = prepped_edges.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     e = (
-        prepped_edges.join(F.broadcast(hot), "src", "left")
+        prepped_edges.join(
+            F.broadcast(hot.withColumnRenamed("src", key)), key, "left"
+        )
         .withColumn(
             "salt",
             F.when(
                 F.col("nsalt").isNotNull(),
-                F.pmod(F.xxhash64("dst"), F.col("nsalt")).cast("int"),
+                F.pmod(F.xxhash64(spread), F.col("nsalt")).cast("int"),
             ).otherwise(F.lit(0)),
         )
         .drop("nsalt")
-        .repartition(num_partitions, "src", "salt")
+        .repartition(num_partitions, key, "salt")
     )
     if os.environ.get("SPARK_GRAFT_SORT_EDGES", "1") == "1":
-        e = e.sortWithinPartitions("src", "salt")
+        e = e.sortWithinPartitions(key, "salt")
     e = e.persist()
     e.count()
     return e
+
+
+def sql_message_path(
+    norm_edges: DataFrame,
+    num_partitions: int | None,
+    hot_degree_threshold: int,
+    clustered: bool,
+):
+    """Build the cached edge side of the JVM-only message path, salting hot
+    sources when the graph is skewed.
+
+    Returns ``(prepped_edges, msg_fn)`` where ``msg_fn(state)`` computes the
+    per-round reducible-sum messages. The common (unskewed) case is the
+    plain ``prep_edges_sql`` + single-key join — unchanged plan, one cheap
+    cached aggregate added at build to *prove* there is no hot source. When
+    some source's out-degree exceeds ``hot_degree_threshold`` (a mega-hub
+    entity in the transcript link graph), the cache is re-clustered on
+    ``(src, salt)`` and every superstep joins salted — the hub's gather
+    becomes ``ceil(degree/threshold)`` parallel tasks instead of one
+    straggler that AQE (disabled inside superstep commits) cannot split.
+    SQL-path analog of ``build_blocks``'s DEGREE salting; reference
+    ``core/.../partition/PartitionUtils.java:126-204``. Measured on a
+    20M-edge graph with one source owning half the edges: 9.93 → 3.58 s
+    median superstep (`bench_experiments/skew_ab_*`).
+    """
+    prepped = prep_edges_sql(norm_edges, num_partitions=num_partitions, clustered=clustered)
+    hot = detect_hot_sources(prepped, hot_degree_threshold)
+    if hot is None:
+        return prepped, (lambda active: spmv_messages_sql(prepped, active))
+    salted = prep_edges_sql_salted(prepped, hot, num_partitions=num_partitions)
+    prepped.unpersist()
+    return salted, (lambda active: spmv_messages_sql_salted(salted, hot, active))
 
 
 def replicate_state_for_salts(state: DataFrame, hot: DataFrame, key: str = "node") -> DataFrame:

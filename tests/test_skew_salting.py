@@ -119,3 +119,37 @@ def test_serialized_state_commit_equal_scores(spark, monkeypatch):
     assert ss.state_storage_level(None) is None
     assert ss.state_storage_level(10_000) is None
     assert ss.state_storage_level(60_000_000) == StorageLevel.MEMORY_AND_DISK
+
+
+def test_label_propagation_invariant_under_salting(spark):
+    # LPA's vote gather joins on DST, so the hot node must be a hot
+    # in-degree hub: reverse the skewed graph (node 0 in-degree 201).
+    from graph_data_science_spark.algorithms.labelprop import label_propagation
+    from graph_data_science_spark.pregel.spmv import detect_hot_sources
+
+    fwd = _skewed_graph(spark)
+    rev = LinkGraph(
+        edges=fwd.edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        )
+    )
+    assert detect_hot_sources(rev.edges, 50, key="dst") is not None
+    plain = label_propagation(rev, max_iterations=5)
+    salted = label_propagation(rev, max_iterations=5, hot_degree_threshold=50)
+    a = {r["node_id"]: r["label"] for r in plain.labels.collect()}
+    b = {r["node_id"]: r["label"] for r in salted.labels.collect()}
+    assert a == b
+
+
+def test_hits_invariant_under_salting(spark):
+    from graph_data_science_spark.algorithms.hits import hits
+
+    g = _skewed_graph(spark)
+    plain = hits(g, hits_iterations=5)
+    salted = hits(g, hits_iterations=5, hot_degree_threshold=50)
+    a = {r["node_id"]: (r["auth"], r["hub"]) for r in plain.scores.collect()}
+    b = {r["node_id"]: (r["auth"], r["hub"]) for r in salted.scores.collect()}
+    assert set(a) == set(b)
+    for n in a:
+        assert b[n][0] == pytest.approx(a[n][0], abs=1e-12)
+        assert b[n][1] == pytest.approx(a[n][1], abs=1e-12)
