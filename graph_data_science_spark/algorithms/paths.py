@@ -39,7 +39,11 @@ from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from graph_data_science_spark.graph.build import LinkGraph
-from graph_data_science_spark.pregel.spmv import prep_edges_sql
+from graph_data_science_spark.pregel.spmv import (
+    prep_edges_sql,
+    prep_edges_sql_skew,
+    salted_gather_join,
+)
 from graph_data_science_spark.pregel.superstep import SuperstepLoop, edge_lineage
 
 
@@ -59,6 +63,7 @@ def shortest_paths(
     max_iterations: int | None = None,
     checkpoint_dir: str | None = None,
     num_blocks: int | None = None,
+    hot_degree_threshold: int = 2_000_000,
 ) -> PathResult:
     """Single-source shortest distances. ``weighted=False`` treats every
     edge as weight 1 (= BFS hop counts). Unreachable nodes are omitted,
@@ -68,8 +73,10 @@ def shortest_paths(
     if max_iterations is None:
         max_iterations = n + 1
     e = graph.edges if weighted else graph.edges.select("src", "dst", F.lit(1.0).alias("weight"))
-    prepped = prep_edges_sql(
-        e.select("src", "dst", F.col("weight").alias("norm_w")), num_partitions=num_blocks
+    prepped, _hot = prep_edges_sql_skew(
+        e.select("src", "dst", F.col("weight").alias("norm_w")),
+        num_blocks,
+        hot_degree_threshold,
     )
 
     loop = SuperstepLoop(
@@ -91,7 +98,7 @@ def shortest_paths(
     it = 0
     for it in range(1, max_iterations + 1):
         cand = (
-            prepped.join(frontier, prepped["src"] == frontier["node"], "inner")
+            salted_gather_join(prepped, _hot, frontier)
             .groupBy("dst")
             .agg(F.min(F.col("dist") + F.col("norm_w")).alias("cand"))
         )
@@ -145,6 +152,7 @@ def all_shortest_paths(
     exact_source_limit: int | None = None,
     checkpoint_dir: str | None = None,
     num_blocks: int | None = None,
+    hot_degree_threshold: int = 2_000_000,
 ) -> AllShortestPathsResult:
     """All-pairs shortest distances, streamed as (source, target, distance)
     rows for reachable pairs (reference
@@ -186,8 +194,10 @@ def all_shortest_paths(
         src_frame = graph.node_ids()
 
     e = graph.edges if weighted else graph.edges.select("src", "dst", F.lit(1.0).alias("weight"))
-    prepped = prep_edges_sql(
-        e.select("src", "dst", F.col("weight").alias("norm_w")), num_partitions=num_blocks
+    prepped, _hot = prep_edges_sql_skew(
+        e.select("src", "dst", F.col("weight").alias("norm_w")),
+        num_blocks,
+        hot_degree_threshold,
     )
 
     loop = SuperstepLoop(
@@ -221,7 +231,7 @@ def all_shortest_paths(
         # descend from the same committed frame) — without them Spark's
         # ambiguous-self-join check rejects the merge condition.
         cand = (
-            prepped.join(frontier, prepped["src"] == frontier["node"], "inner")
+            salted_gather_join(prepped, _hot, frontier)
             .groupBy("source", "dst")
             .agg(F.min(F.col("dist") + F.col("norm_w")).alias("cand"))
             .select(
@@ -290,6 +300,7 @@ def dijkstra(
     max_iterations: int | None = None,
     num_blocks: int | None = None,
     heuristic: DataFrame | None = None,
+    hot_degree_threshold: int = 2_000_000,
 ) -> DijkstraResult:
     """Weighted single-source shortest paths WITH path reconstruction
     (reference ``algo/.../paths/dijkstra/Dijkstra.java:45``; result shape
@@ -339,8 +350,10 @@ def dijkstra(
     if max_iterations is None:
         max_iterations = n + 1
     e = graph.edges if weighted else graph.edges.select("src", "dst", F.lit(1.0).alias("weight"))
-    prepped = prep_edges_sql(
-        e.select("src", "dst", F.col("weight").alias("norm_w")), num_partitions=num_blocks
+    prepped, _hot = prep_edges_sql_skew(
+        e.select("src", "dst", F.col("weight").alias("norm_w")),
+        num_blocks,
+        hot_degree_threshold,
     )
     _mark = roundtrip_mark()
 
@@ -364,7 +377,7 @@ def dijkstra(
     it = 0
     for it in range(1, max_iterations + 1):
         cand = (
-            prepped.join(frontier, prepped["src"] == frontier["node"], "inner")
+            salted_gather_join(prepped, _hot, frontier)
             .groupBy("dst")
             .agg(
                 F.min(

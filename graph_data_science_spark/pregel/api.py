@@ -44,7 +44,12 @@ from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 from graph_data_science_spark.graph.build import LinkGraph
-from graph_data_science_spark.pregel.spmv import prep_edges_sql
+from graph_data_science_spark.pregel.spmv import (
+    detect_hot_sources,
+    prep_edges_sql,
+    prep_edges_sql_salted,
+    replicate_state_for_salts,
+)
 from graph_data_science_spark.pregel.superstep import SuperstepLoop, edge_lineage
 
 _REDUCERS = {"sum": F.sum, "min": F.min, "max": F.max, "count": F.count}
@@ -116,6 +121,7 @@ def run_pregel(
     max_iterations: int = 20,
     checkpoint_dir: str | None = None,
     num_partitions: int | None = None,
+    hot_degree_threshold: int = 2_000_000,
 ) -> PregelResult:
     """Run a :class:`PregelComputation` over ``graph`` (NATURAL
     orientation; project the graph first for REVERSE/UNDIRECTED, as in
@@ -126,6 +132,8 @@ def run_pregel(
     reserved = {"active", "received"} & set(computation.aggregates)
     if reserved:
         raise ValueError(f"aggregate names {sorted(reserved)} are reserved by the runtime")
+    if "salt" in computation.schema:
+        raise ValueError("state column name 'salt' is reserved by the skew runtime")
     reduce_fn = _REDUCERS[computation.reducer]
     spark = graph.edges.sparkSession
     n = graph.with_node_count()
@@ -137,6 +145,16 @@ def run_pregel(
     degrees = prepped.groupBy(F.col("src").alias("node")).agg(
         F.count("*").cast("long").alias("_degree")
     )
+    # Every built-in reducer is associative, so the hot-source salting of
+    # the native loops applies to user programs too (spmv.sql_message_path
+    # rationale): hot senders' edges spread across salt sub-partitions,
+    # their sender rows replicated per salt below.
+    hot = detect_hot_sources(prepped, hot_degree_threshold)
+    if hot is not None:
+        degrees = degrees.localCheckpoint(eager=True)  # detach from the cache being swapped
+        salted = prep_edges_sql_salted(prepped, hot, num_partitions=num_partitions)
+        prepped.unpersist()
+        prepped = salted
 
     loop = SuperstepLoop(
         spark,
@@ -183,8 +201,15 @@ def run_pregel(
         mexpr = computation.message(sctx)
         if computation.apply_relationship_weight is not None:
             mexpr = computation.apply_relationship_weight(mexpr, F.col("norm_w"))
+        if hot is None:
+            joined = prepped.join(senders, prepped["src"] == senders["_snd"], "inner")
+        else:
+            snd = replicate_state_for_salts(senders, hot, key="_snd")
+            joined = prepped.join(
+                snd, (prepped["src"] == snd["_snd"]) & (prepped["salt"] == snd["salt"]), "inner"
+            )
         msgs = (
-            prepped.join(senders, prepped["src"] == senders["_snd"], "inner")
+            joined
             .select(F.col("dst"), mexpr.alias("_mv"))
             .filter(F.col("_mv").isNotNull())
             .groupBy("dst")

@@ -410,13 +410,48 @@ def sql_message_path(
     20M-edge graph with one source owning half the edges: 9.93 → 3.58 s
     median superstep (`bench_experiments/skew_ab_*`).
     """
+    prepped, hot = prep_edges_sql_skew(
+        norm_edges, num_partitions, hot_degree_threshold, clustered=clustered
+    )
+    if hot is None:
+        return prepped, (lambda active: spmv_messages_sql(prepped, active))
+    return prepped, (lambda active: spmv_messages_sql_salted(prepped, hot, active))
+
+
+def prep_edges_sql_skew(
+    norm_edges: DataFrame,
+    num_partitions: int | None,
+    hot_degree_threshold: int,
+    clustered: bool = False,
+):
+    """Prep + hot-detect in one call for loops whose gather is NOT a plain
+    weighted sum (min-relaxation frontiers, label votes): returns
+    ``(prepped, hot)`` where ``hot`` is None on unskewed graphs (plain
+    src-clustered cache, unchanged plan) or the tiny hot map when the cache
+    was re-clustered salted. Pair with :func:`salted_gather_join` and apply
+    the loop's own (reducible) aggregate on top."""
     prepped = prep_edges_sql(norm_edges, num_partitions=num_partitions, clustered=clustered)
     hot = detect_hot_sources(prepped, hot_degree_threshold)
     if hot is None:
-        return prepped, (lambda active: spmv_messages_sql(prepped, active))
+        return prepped, None
     salted = prep_edges_sql_salted(prepped, hot, num_partitions=num_partitions)
     prepped.unpersist()
-    return salted, (lambda active: spmv_messages_sql_salted(salted, hot, active))
+    return salted, hot
+
+
+def salted_gather_join(
+    prepped: DataFrame, hot: DataFrame | None, state: DataFrame, state_key: str = "node"
+) -> DataFrame:
+    """The per-round edges ⋈ state join on ``src``, salted when ``hot`` is
+    set. The caller applies its own aggregate on the result — which must be
+    reducible (sum/min/max/count) for salting to recombine exactly, since a
+    hot source's rows arrive in ``nsalt`` partial groups."""
+    if hot is None:
+        return prepped.join(state, prepped["src"] == state[state_key], "inner")
+    st = replicate_state_for_salts(state, hot, key=state_key)
+    return prepped.join(
+        st, (prepped["src"] == st[state_key]) & (prepped["salt"] == st["salt"]), "inner"
+    )
 
 
 def replicate_state_for_salts(state: DataFrame, hot: DataFrame, key: str = "node") -> DataFrame:

@@ -153,3 +153,25 @@ def test_hits_invariant_under_salting(spark):
     for n in a:
         assert b[n][0] == pytest.approx(a[n][0], abs=1e-12)
         assert b[n][1] == pytest.approx(a[n][1], abs=1e-12)
+
+
+def test_user_pregel_invariant_under_salting(spark):
+    from graph_data_science_spark.pregel.api import PregelComputation, run_pregel
+
+    comp_kwargs = dict(
+        name="pr_user",
+        schema={"rank": lambda c: F.lit(1.0 - 0.85)},
+        message=lambda c: c["rank"] / c["degree"],
+        update=lambda c, msg: {"rank": c["rank"] + 0.85 * F.coalesce(msg, F.lit(0.0))},
+        reducer="sum",
+    )
+    g = _skewed_graph(spark)
+    plain = run_pregel(g, PregelComputation(**comp_kwargs), max_iterations=6)
+    salted = run_pregel(
+        g, PregelComputation(**comp_kwargs), max_iterations=6, hot_degree_threshold=50
+    )
+    a = {r["node_id"]: r["rank"] for r in plain.state.collect()}
+    b = {r["node_id"]: r["rank"] for r in salted.state.collect()}
+    assert set(a) == set(b)
+    for nd in a:
+        assert b[nd] == pytest.approx(a[nd], abs=1e-12)
