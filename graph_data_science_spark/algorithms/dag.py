@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from graph_data_science_spark.graph.build import LinkGraph
-from graph_data_science_spark.pregel.spmv import prep_edges_sql
+from graph_data_science_spark.pregel.spmv import prep_edges_sql_skew, salted_gather_join
 from graph_data_science_spark.pregel.superstep import (
     materialize_roundtrip,
     roundtrip_mark,
@@ -45,11 +45,14 @@ def dag_longest_path(
     graph: LinkGraph,
     weighted: bool = True,
     targets: list[int] | None = None,
+    hot_degree_threshold: int = 2_000_000,
 ) -> LongestPathResult:
     spark = graph.edges.sparkSession
     n = graph.with_node_count()
     e = graph.edges if weighted else graph.edges.select("src", "dst", F.lit(1.0).alias("weight"))
-    prepped = prep_edges_sql(e.select("src", "dst", F.col("weight").alias("norm_w")))
+    prepped, _hot = prep_edges_sql_skew(
+        e.select("src", "dst", F.col("weight").alias("norm_w")), None, hot_degree_threshold
+    )
     mark = roundtrip_mark()
 
     dist = graph.node_ids().select(
@@ -63,7 +66,7 @@ def dag_longest_path(
     converged = False
     for it in range(1, n + 2):
         cand = (
-            prepped.join(frontier, prepped["src"] == frontier["node"], "inner")
+            salted_gather_join(prepped, _hot, frontier)
             .groupBy("dst")
             .agg(
                 F.max_by(
