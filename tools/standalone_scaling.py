@@ -38,7 +38,17 @@ SPARK_HOME = os.environ.get("SPARK_HOME", "/opt/spark")
 MASTER_URL = "spark://127.0.0.1:7077"
 CORES_PER_EXEC = 4
 EXEC_MEM = "10g"  # 2.5 g/core — heap-per-core constant across levels
-N_CONV = 2_000_000  # same constant-work 20M-edge cycle graph as bench.py
+# Constant-work cycle graph size: 10 edges per conversation. Default 8M
+# conversations = 80M edges. The earlier 20M-edge runs (kept as
+# STANDALONE_SCALING_20M_*.json) showed a ~0.8s per-superstep FIXED cost
+# (driver/scheduler round-trips, job setup) — at the 4x4 level that was ~29%
+# of a 2.9s superstep, so strong-scaling efficiency was bounded by overhead,
+# not by the engine: solving (w + c = 8.98, w/4 + c = 2.86) from those runs
+# gives scalable work w = 8.16s and fixed c = 0.82s per superstep. 4x the
+# work shrinks the fixed fraction to ~9% and measures the engine instead of
+# the scheduler. Same input at BOTH levels (strong scaling), per the north
+# rule.
+N_CONV = int(os.environ.get("SPARK_GRAFT_SCALING_NCONV", 8_000_000))
 WARMUP, MEASURED = 3, 4
 ATTEMPTS = 2  # min-of-2, same noise-floor protocol as bench.py
 
@@ -228,7 +238,8 @@ def main() -> None:
             "protocol": (
                 "Spark standalone master + 1 worker on this host; level A = 1 "
                 "executor JVM x 4 cores, level B = 4 executor JVMs x 4 cores "
-                "(separate heaps/GC, process shuffle); constant-work 20M-edge "
+                "(separate heaps/GC, process shuffle); constant-work "
+                f"{results['1']['edges']:,}-edge "
                 "cycle graph, 3 warmup + 4 measured supersteps, median, "
                 "min-of-2 runs per level; executor local dirs on tmpfs "
                 "(SPARK_LOCAL_DIRS), locality.wait=0, 96m/1m fetch/write "
