@@ -55,12 +55,19 @@ def _e(col, scale: int):
 # Graph derivations shared by Spark + SQL sides.
 # Node id scheme for the supply web (disjoint ranges):
 #   region r_regionkey [0,5) · nation 10+n_nationkey [10,35)
-#   supplier 50+s_suppkey · customer 1000+c_custkey · order 10000+o_orderkey
+#   supplier 50+s_suppkey · customer 2000+c_custkey · order 100000+o_orderkey
+# Ranges stay disjoint through sf0.1 with >5x margin (suppliers ≤1,050,
+# custkeys ≤15,000 → ids ≤17,000, orderkeys ≤600,000 → ids ≤700,000). The
+# earlier 1000/10000 bases collided at sf0.1 (supplier∩customer by 50 ids,
+# customer∩order by 6,000) — both sides then ran the same MERGED graph, but
+# the unrolled SQL oracles keep duplicate node rows per colliding id while
+# the engine folds them, so values diverged. Keep every base mirrored
+# EXACTLY between the Spark builders and the SQL oracle text.
 # --------------------------------------------------------------------------
 
 SUPPLY_EDGES_SQL = """
-    SELECT 10000 + o_orderkey AS src, 1000 + o_custkey AS dst FROM orders
-    UNION ALL SELECT 1000 + c_custkey, 10 + c_nationkey FROM customer
+    SELECT 100000 + o_orderkey AS src, 2000 + o_custkey AS dst FROM orders
+    UNION ALL SELECT 2000 + c_custkey, 10 + c_nationkey FROM customer
     UNION ALL SELECT 50 + s_suppkey, 10 + s_nationkey FROM supplier
     UNION ALL SELECT 10 + n_nationkey, n_regionkey FROM nation
 """
@@ -69,8 +76,8 @@ SUPPLY_NODES_SQL = """
     SELECT r_regionkey AS node_id FROM region
     UNION ALL SELECT 10 + n_nationkey FROM nation
     UNION ALL SELECT 50 + s_suppkey FROM supplier
-    UNION ALL SELECT 1000 + c_custkey FROM customer
-    UNION ALL SELECT 10000 + o_orderkey FROM orders
+    UNION ALL SELECT 2000 + c_custkey FROM customer
+    UNION ALL SELECT 100000 + o_orderkey FROM orders
 """
 
 
@@ -80,8 +87,8 @@ def _supply_web_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
     supplier = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
     edges = (
-        orders.select((10000 + F.col("o_orderkey")).alias("src"), (1000 + F.col("o_custkey")).alias("dst"))
-        .union(customer.select(1000 + F.col("c_custkey"), 10 + F.col("c_nationkey")))
+        orders.select((100000 + F.col("o_orderkey")).alias("src"), (2000 + F.col("o_custkey")).alias("dst"))
+        .union(customer.select(2000 + F.col("c_custkey"), 10 + F.col("c_nationkey")))
         .union(supplier.select(50 + F.col("s_suppkey"), 10 + F.col("s_nationkey")))
         .union(nation.select(10 + F.col("n_nationkey"), F.col("n_regionkey")))
         .select(F.col("src").cast("long"), F.col("dst").cast("long"), F.lit(1.0).alias("weight"))
@@ -90,8 +97,8 @@ def _supply_web_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
         _t(spark, sf_dir, "region").select(F.col("r_regionkey").cast("long").alias("node_id"))
         .union(nation.select((10 + F.col("n_nationkey")).cast("long")))
         .union(supplier.select((50 + F.col("s_suppkey")).cast("long")))
-        .union(customer.select((1000 + F.col("c_custkey")).cast("long")))
-        .union(orders.select((10000 + F.col("o_orderkey")).cast("long")))
+        .union(customer.select((2000 + F.col("c_custkey")).cast("long")))
+        .union(orders.select((100000 + F.col("o_orderkey")).cast("long")))
     )
     max_id = edges.agg(F.greatest(F.max("src"), F.max("dst")).alias("m")).collect()[0]["m"]
     return LinkGraph(edges=edges, vertices=vertices, node_count=int(max_id) + 1)
@@ -225,8 +232,8 @@ def _lpa_unrolled_sql(edges_sql: str, nodes_sql: str, iterations: int) -> str:
 
 
 LPA_BIPARTITE_EDGES_SQL = """
-    SELECT 1000 + c_custkey AS src, 10 + c_nationkey AS dst, 1.0 AS w FROM customer
-    UNION ALL SELECT 10 + c_nationkey, 1000 + c_custkey, 1.0 FROM customer
+    SELECT 2000 + c_custkey AS src, 10 + c_nationkey AS dst, 1.0 AS w FROM customer
+    UNION ALL SELECT 10 + c_nationkey, 2000 + c_custkey, 1.0 FROM customer
     UNION ALL SELECT 50 + s_suppkey, 10 + s_nationkey, 1.0 FROM supplier
     UNION ALL SELECT 10 + s_nationkey, 50 + s_suppkey, 1.0 FROM supplier
 """
@@ -234,7 +241,7 @@ LPA_BIPARTITE_EDGES_SQL = """
 LPA_BIPARTITE_NODES_SQL = """
     SELECT 10 + n_nationkey AS node_id FROM nation
     UNION ALL SELECT 50 + s_suppkey FROM supplier
-    UNION ALL SELECT 1000 + c_custkey FROM customer
+    UNION ALL SELECT 2000 + c_custkey FROM customer
 """
 
 
@@ -243,7 +250,7 @@ def _lpa_bipartite_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
     supplier = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
     cn = customer.select(
-        (1000 + F.col("c_custkey")).cast("long").alias("src"),
+        (2000 + F.col("c_custkey")).cast("long").alias("src"),
         (10 + F.col("c_nationkey")).cast("long").alias("dst"),
     )
     sn = supplier.select(
@@ -257,7 +264,7 @@ def _lpa_bipartite_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
     vertices = (
         nation.select((10 + F.col("n_nationkey")).cast("long").alias("node_id"))
         .union(supplier.select((50 + F.col("s_suppkey")).cast("long")))
-        .union(customer.select((1000 + F.col("c_custkey")).cast("long")))
+        .union(customer.select((2000 + F.col("c_custkey")).cast("long")))
     )
     max_id = vertices.agg(F.max("node_id").alias("m")).collect()[0]["m"]
     return LinkGraph(edges=edges, vertices=vertices, node_count=int(max_id) + 1)
@@ -272,18 +279,18 @@ def q_degree_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
     edges = orders.select(
-        (1000 + F.col("o_custkey")).cast("long").alias("src"),
-        (10000 + F.col("o_orderkey")).cast("long").alias("dst"),
+        (2000 + F.col("o_custkey")).cast("long").alias("src"),
+        (100000 + F.col("o_orderkey")).cast("long").alias("dst"),
         F.lit(1.0).alias("weight"),
     )
-    vertices = customer.select((1000 + F.col("c_custkey")).cast("long").alias("node_id")).union(
-        orders.select((10000 + F.col("o_orderkey")).cast("long"))
+    vertices = customer.select((2000 + F.col("c_custkey")).cast("long").alias("node_id")).union(
+        orders.select((100000 + F.col("o_orderkey")).cast("long"))
     )
     g = LinkGraph(edges=edges, vertices=vertices)
     return (
         degree_centrality(g, orientation="natural")
-        .filter(F.col("node_id") < 10000)
-        .select((F.col("node_id") - 1000).alias("c_custkey"), F.col("score").alias("n_orders"))
+        .filter(F.col("node_id") < 100000)
+        .select((F.col("node_id") - 2000).alias("c_custkey"), F.col("score").alias("n_orders"))
     )
 
 

@@ -254,8 +254,8 @@ _SUPPLY_ASSIGN_SQL = """
     SELECT r_regionkey AS node_id, r_regionkey AS community FROM region
     UNION ALL SELECT 10 + n_nationkey, n_regionkey FROM nation
     UNION ALL SELECT 50 + s_suppkey, n_regionkey FROM supplier JOIN nation ON n_nationkey = s_nationkey
-    UNION ALL SELECT 1000 + c_custkey, n_regionkey FROM customer JOIN nation ON n_nationkey = c_nationkey
-    UNION ALL SELECT 10000 + o_orderkey, o_orderkey % 5 FROM orders
+    UNION ALL SELECT 2000 + c_custkey, n_regionkey FROM customer JOIN nation ON n_nationkey = c_nationkey
+    UNION ALL SELECT 100000 + o_orderkey, o_orderkey % 5 FROM orders
 """
 
 
@@ -275,10 +275,10 @@ def _supply_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .union(
             customer.join(nation, customer["c_nationkey"] == nation["n_nationkey"]).select(
-                (1000 + F.col("c_custkey")).cast("long"), F.col("n_regionkey").cast("long")
+                (2000 + F.col("c_custkey")).cast("long"), F.col("n_regionkey").cast("long")
             )
         )
-        .union(orders.select((10000 + F.col("o_orderkey")).cast("long"), (F.col("o_orderkey") % 5).cast("long")))
+        .union(orders.select((100000 + F.col("o_orderkey")).cast("long"), (F.col("o_orderkey") % 5).cast("long")))
     )
 
 
@@ -537,17 +537,17 @@ def _supply_tree_graph(spark: SparkSession, sf_dir: str, weighted: bool) -> Link
         wn = wc = ws = wo = F.lit(1.0)
     edges = (
         nation.select(F.col("n_regionkey").cast("long").alias("src"), (10 + F.col("n_nationkey")).cast("long").alias("dst"), wn.alias("weight"))
-        .union(customer.select((10 + F.col("c_nationkey")).cast("long"), (1000 + F.col("c_custkey")).cast("long"), wc))
+        .union(customer.select((10 + F.col("c_nationkey")).cast("long"), (2000 + F.col("c_custkey")).cast("long"), wc))
         .union(supplier.select((10 + F.col("s_nationkey")).cast("long"), (50 + F.col("s_suppkey")).cast("long"), ws))
-        .union(orders.select((1000 + F.col("o_custkey")).cast("long"), (10000 + F.col("o_orderkey")).cast("long"), wo))
+        .union(orders.select((2000 + F.col("o_custkey")).cast("long"), (100000 + F.col("o_orderkey")).cast("long"), wo))
     )
     region = _t(spark, sf_dir, "region")
     vertices = (
         region.select(F.col("r_regionkey").cast("long").alias("node_id"))
         .union(nation.select((10 + F.col("n_nationkey")).cast("long")))
         .union(supplier.select((50 + F.col("s_suppkey")).cast("long")))
-        .union(customer.select((1000 + F.col("c_custkey")).cast("long")))
-        .union(orders.select((10000 + F.col("o_orderkey")).cast("long")))
+        .union(customer.select((2000 + F.col("c_custkey")).cast("long")))
+        .union(orders.select((100000 + F.col("o_orderkey")).cast("long")))
     )
     max_id = edges.agg(F.greatest(F.max("src"), F.max("dst")).alias("m")).collect()[0]["m"]
     return LinkGraph(edges=edges, vertices=vertices, node_count=int(max_id) + 1)
@@ -562,8 +562,8 @@ Q_BFS_SQL = """
     SELECT CAST(0 AS BIGINT) AS node_id, CAST(0 AS BIGINT) AS level
     UNION ALL SELECT 10 + n_nationkey, 1 FROM nation WHERE n_regionkey = 0
     UNION ALL SELECT 50 + s_suppkey, 2 FROM supplier JOIN nation ON n_nationkey = s_nationkey WHERE n_regionkey = 0
-    UNION ALL SELECT 1000 + c_custkey, 2 FROM customer JOIN nation ON n_nationkey = c_nationkey WHERE n_regionkey = 0
-    UNION ALL SELECT 10000 + o_orderkey, 3
+    UNION ALL SELECT 2000 + c_custkey, 2 FROM customer JOIN nation ON n_nationkey = c_nationkey WHERE n_regionkey = 0
+    UNION ALL SELECT 100000 + o_orderkey, 3
       FROM orders JOIN customer ON c_custkey = o_custkey JOIN nation ON n_nationkey = c_nationkey
       WHERE n_regionkey = 0
 """
@@ -580,9 +580,9 @@ Q_SSSP_SQL = """
     UNION ALL SELECT 10 + n_nationkey, 1 + n_nationkey % 3 FROM nation WHERE n_regionkey = 0
     UNION ALL SELECT 50 + s_suppkey, (1 + n_nationkey % 3) + (1 + s_suppkey % 5)
       FROM supplier JOIN nation ON n_nationkey = s_nationkey WHERE n_regionkey = 0
-    UNION ALL SELECT 1000 + c_custkey, (1 + n_nationkey % 3) + (1 + c_custkey % 7)
+    UNION ALL SELECT 2000 + c_custkey, (1 + n_nationkey % 3) + (1 + c_custkey % 7)
       FROM customer JOIN nation ON n_nationkey = c_nationkey WHERE n_regionkey = 0
-    UNION ALL SELECT 10000 + o_orderkey, (1 + n_nationkey % 3) + (1 + c_custkey % 7) + (1 + o_orderkey % 11)
+    UNION ALL SELECT 100000 + o_orderkey, (1 + n_nationkey % 3) + (1 + c_custkey % 7) + (1 + o_orderkey % 11)
       FROM orders JOIN customer ON c_custkey = o_custkey JOIN nation ON n_nationkey = c_nationkey
       WHERE n_regionkey = 0
 """
@@ -611,13 +611,13 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     pend = customer.select(
-        (1000 + F.col("c_custkey")).cast("long").alias("src"),
+        (2000 + F.col("c_custkey")).cast("long").alias("src"),
         (10 + F.col("c_nationkey")).cast("long").alias("dst"),
         F.lit(1.0).alias("weight"),
     )
     edges = _nation_clique_edges(spark, sf_dir).union(pend)
     vertices = nation.select((10 + F.col("n_nationkey")).cast("long").alias("node_id")).union(
-        customer.select((1000 + F.col("c_custkey")).cast("long"))
+        customer.select((2000 + F.col("c_custkey")).cast("long"))
     )
     g = LinkGraph(edges=edges, vertices=vertices)
     return k_core(g).cores.select("node_id", F.col("core").cast("int").alias("core"))
@@ -629,7 +629,7 @@ Q_KCORE_SQL = """
            CAST(rs.n - 1 AS INT) AS core
     FROM nation JOIN rs ON rs.n_regionkey = nation.n_regionkey
     UNION ALL
-    SELECT CAST(1000 + c_custkey AS BIGINT), 1 FROM customer
+    SELECT CAST(2000 + c_custkey AS BIGINT), 1 FROM customer
 """
 
 

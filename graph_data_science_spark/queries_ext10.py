@@ -156,7 +156,7 @@ Q_NODESIM_WCOSINE_SQL = _weighted_sql("sprod / (SQRT(sa.w2sum) * SQRT(sb.w2sum))
 def q_link_prediction_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _supply_web_graph(spark, sf_dir)
     cust = _t(spark, sf_dir, "customer").select(
-        (1000 + F.col("c_custkey")).cast("long").alias("node1")
+        (2000 + F.col("c_custkey")).cast("long").alias("node1")
     )
     pairs = cust.join(
         cust.select(F.col("node1").alias("node2")),
@@ -182,7 +182,7 @@ Q_LINKPRED_SQL = f"""
     ),
     deg AS (SELECT node, COUNT(*) AS deg FROM nbr GROUP BY node),
     pairs AS (
-        SELECT 1000 + a.c_custkey AS n1, 1000 + b.c_custkey AS n2
+        SELECT 2000 + a.c_custkey AS n1, 2000 + b.c_custkey AS n2
         FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
     ),
     inter AS (

@@ -247,8 +247,8 @@ Q_WALK_VISITS_SQL = f"""
         SELECT CAST(r_regionkey AS BIGINT) AS node_id FROM region
         UNION ALL SELECT 10 + n_nationkey FROM nation
         UNION ALL SELECT 50 + s_suppkey FROM supplier
-        UNION ALL SELECT 1000 + c_custkey FROM customer
-        UNION ALL SELECT 10000 + o_orderkey FROM orders
+        UNION ALL SELECT 2000 + c_custkey FROM customer
+        UNION ALL SELECT 100000 + o_orderkey FROM orders
     )
     SELECT a.node_id, CAST(COALESCE(c.visits, 0) AS BIGINT) AS visits
     FROM allnodes a LEFT JOIN counts c ON c.node_id = a.node_id

@@ -49,17 +49,17 @@ def _md5_ws_sql(seed, *exprs: str) -> str:
 
 _SUPPLY_EDGES = """
         SELECT CAST(n_regionkey AS BIGINT) AS src, CAST(10 + n_nationkey AS BIGINT) AS dst FROM nation
-        UNION ALL SELECT 10 + c_nationkey, 1000 + c_custkey FROM customer
+        UNION ALL SELECT 10 + c_nationkey, 2000 + c_custkey FROM customer
         UNION ALL SELECT 10 + s_nationkey, 50 + s_suppkey FROM supplier
-        UNION ALL SELECT 1000 + o_custkey, 10000 + o_orderkey FROM orders
+        UNION ALL SELECT 2000 + o_custkey, 100000 + o_orderkey FROM orders
 """
 
 _SUPPLY_NODES = """
         SELECT CAST(r_regionkey AS BIGINT) AS node_id FROM region
         UNION ALL SELECT 10 + n_nationkey FROM nation
         UNION ALL SELECT 50 + s_suppkey FROM supplier
-        UNION ALL SELECT 1000 + c_custkey FROM customer
-        UNION ALL SELECT 10000 + o_orderkey FROM orders
+        UNION ALL SELECT 2000 + c_custkey FROM customer
+        UNION ALL SELECT 100000 + o_orderkey FROM orders
 """
 
 Q_SPLIT_SQL = f"""

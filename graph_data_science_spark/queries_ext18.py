@@ -259,16 +259,16 @@ def q_index_inverse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = _t(spark, sf_dir, "orders")
     edges = orders.select(
-        (1000 + F.col("o_custkey")).cast("long").alias("src"),
-        (10000 + F.col("o_orderkey")).cast("long").alias("dst"),
+        (2000 + F.col("o_custkey")).cast("long").alias("src"),
+        (100000 + F.col("o_orderkey")).cast("long").alias("dst"),
         F.lit(1.0).alias("weight"),
     )
     return reverse_edges(edges).select("src", "dst")
 
 
 Q_INDEX_INVERSE_SQL = """
-SELECT CAST(10000 + o_orderkey AS BIGINT) AS src,
-       CAST(1000 + o_custkey AS BIGINT) AS dst
+SELECT CAST(100000 + o_orderkey AS BIGINT) AS src,
+       CAST(2000 + o_custkey AS BIGINT) AS dst
 FROM orders
 """
 
@@ -302,10 +302,10 @@ WITH src AS (SELECT CAST(10 + n_nationkey AS BIGINT) AS source, n_nationkey
 SELECT source, CAST(50 + s_suppkey AS BIGINT) AS node_id, CAST(1 AS BIGINT) AS depth
 FROM src JOIN supplier ON s_nationkey = n_nationkey
 UNION ALL
-SELECT source, CAST(1000 + c_custkey AS BIGINT), 1
+SELECT source, CAST(2000 + c_custkey AS BIGINT), 1
 FROM src JOIN customer ON c_nationkey = n_nationkey
 UNION ALL
-SELECT source, CAST(10000 + o_orderkey AS BIGINT), 2
+SELECT source, CAST(100000 + o_orderkey AS BIGINT), 2
 FROM src JOIN customer ON c_nationkey = n_nationkey JOIN orders ON o_custkey = c_custkey
 """
 

@@ -32,14 +32,14 @@ def _cust_nation_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
     customer = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     fwd = customer.select(
-        (1000 + F.col("c_custkey")).cast("long").alias("src"),
+        (2000 + F.col("c_custkey")).cast("long").alias("src"),
         (10 + F.col("c_nationkey")).cast("long").alias("dst"),
     )
     edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).withColumn(
         "weight", F.lit(1.0)
     )
     vertices = nation.select((10 + F.col("n_nationkey")).cast("long").alias("node_id")).union(
-        customer.select((1000 + F.col("c_custkey")).cast("long"))
+        customer.select((2000 + F.col("c_custkey")).cast("long"))
     )
     return LinkGraph(edges=edges, vertices=vertices)
 
@@ -70,7 +70,7 @@ Q_CLOSENESS_SQL = f"""
            {_floor_e("CASE WHEN nc > 0 THEN CAST(nc AS DOUBLE) / ((SELECT n FROM total) - 1) ELSE 0.0 END", 8)} AS wf_e8
     FROM nstat
     UNION ALL
-    SELECT CAST(1000 + c_custkey AS BIGINT),
+    SELECT CAST(2000 + c_custkey AS BIGINT),
            {_floor_e("CAST(nc AS DOUBLE) / (1 + 2 * (nc - 1))", 8)},
            {_floor_e("(CAST(nc AS DOUBLE) / (1 + 2 * (nc - 1))) * (CAST(nc AS DOUBLE) / ((SELECT n FROM total) - 1))", 8)}
     FROM customer JOIN nstat ON n_nationkey = c_nationkey
@@ -88,7 +88,7 @@ Q_HARMONIC_SQL = f"""
            {_floor_e("CAST(nc AS DOUBLE) / ((SELECT n FROM total) - 1)", 8)} AS harmonic_e8
     FROM nstat
     UNION ALL
-    SELECT CAST(1000 + c_custkey AS BIGINT),
+    SELECT CAST(2000 + c_custkey AS BIGINT),
            {_floor_e("(1.0 + (nc - 1) / 2.0) / ((SELECT n FROM total) - 1)", 8)}
     FROM customer JOIN nstat ON n_nationkey = c_nationkey
 """
@@ -102,11 +102,11 @@ def q_collapse_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
     oc = orders.select(
-        (10000 + F.col("o_orderkey")).cast("long").alias("src"),
-        (1000 + F.col("o_custkey")).cast("long").alias("dst"),
+        (100000 + F.col("o_orderkey")).cast("long").alias("src"),
+        (2000 + F.col("o_custkey")).cast("long").alias("dst"),
     )
     cn = customer.select(
-        (1000 + F.col("c_custkey")).cast("long").alias("src"),
+        (2000 + F.col("c_custkey")).cast("long").alias("src"),
         (10 + F.col("c_nationkey")).cast("long").alias("dst"),
     )
     return collapse_path([oc, cn]).select(
@@ -115,7 +115,7 @@ def q_collapse_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q_COLLAPSE_SQL = """
-    SELECT DISTINCT CAST(10000 + o_orderkey AS BIGINT) AS order_node,
+    SELECT DISTINCT CAST(100000 + o_orderkey AS BIGINT) AS order_node,
            CAST(10 + c_nationkey AS BIGINT) AS nation_node
     FROM orders JOIN customer ON c_custkey = o_custkey
 """
@@ -154,9 +154,9 @@ def _walk_pick_sql(step: int) -> str:
 Q_WALKS_SQL = f"""
     WITH e AS MATERIALIZED (
         SELECT CAST(n_regionkey AS BIGINT) AS src, CAST(10 + n_nationkey AS BIGINT) AS dst FROM nation
-        UNION ALL SELECT 10 + c_nationkey, 1000 + c_custkey FROM customer
+        UNION ALL SELECT 10 + c_nationkey, 2000 + c_custkey FROM customer
         UNION ALL SELECT 10 + s_nationkey, 50 + s_suppkey FROM supplier
-        UNION ALL SELECT 1000 + o_custkey, 10000 + o_orderkey FROM orders
+        UNION ALL SELECT 2000 + o_custkey, 100000 + o_orderkey FROM orders
     ),
     adj AS MATERIALIZED (
         SELECT src, dst,
@@ -302,7 +302,7 @@ def q_sllpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = _t(spark, sf_dir, "customer")
     supplier = _t(spark, sf_dir, "supplier")
     cn = customer.select(
-        (1000 + F.col("c_custkey")).cast("long").alias("src"),
+        (2000 + F.col("c_custkey")).cast("long").alias("src"),
         (10 + F.col("c_nationkey")).cast("long").alias("dst"),
     )
     sn = supplier.select(
@@ -315,7 +315,7 @@ def q_sllpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vertices = (
         _t(spark, sf_dir, "nation").select((10 + F.col("n_nationkey")).cast("long").alias("node_id"))
-        .union(customer.select((1000 + F.col("c_custkey")).cast("long")))
+        .union(customer.select((2000 + F.col("c_custkey")).cast("long")))
         .union(supplier.select((50 + F.col("s_suppkey")).cast("long")))
     )
     g = LinkGraph(edges=edges, vertices=vertices)
@@ -374,14 +374,14 @@ def _sllpa_step_sql(step: int, prev: str, out: str) -> str:
 
 Q_SLLPA_SQL = f"""
     WITH e AS MATERIALIZED (
-        SELECT CAST(1000 + c_custkey AS BIGINT) AS src, CAST(10 + c_nationkey AS BIGINT) AS dst FROM customer
-        UNION ALL SELECT CAST(10 + c_nationkey AS BIGINT), CAST(1000 + c_custkey AS BIGINT) FROM customer
+        SELECT CAST(2000 + c_custkey AS BIGINT) AS src, CAST(10 + c_nationkey AS BIGINT) AS dst FROM customer
+        UNION ALL SELECT CAST(10 + c_nationkey AS BIGINT), CAST(2000 + c_custkey AS BIGINT) FROM customer
         UNION ALL SELECT CAST(50 + s_suppkey AS BIGINT), CAST(10 + s_nationkey AS BIGINT) FROM supplier
         UNION ALL SELECT CAST(10 + s_nationkey AS BIGINT), CAST(50 + s_suppkey AS BIGINT) FROM supplier
     ),
     nodes AS MATERIALIZED (
         SELECT CAST(10 + n_nationkey AS BIGINT) AS node FROM nation
-        UNION ALL SELECT CAST(1000 + c_custkey AS BIGINT) FROM customer
+        UNION ALL SELECT CAST(2000 + c_custkey AS BIGINT) FROM customer
         UNION ALL SELECT CAST(50 + s_suppkey AS BIGINT) FROM supplier
     ),
     mem1 AS MATERIALIZED (SELECT node, node AS m0 FROM nodes),

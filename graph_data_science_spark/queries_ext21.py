@@ -30,8 +30,8 @@ QUERIES_EXT21: dict = {}
 ORACLES_EXT21: dict = {}
 
 REV_SUPPLY_EDGES_SQL = """
-    SELECT 1000 + o_custkey AS src, 10000 + o_orderkey AS dst FROM orders
-    UNION ALL SELECT 10 + c_nationkey, 1000 + c_custkey FROM customer
+    SELECT 2000 + o_custkey AS src, 100000 + o_orderkey AS dst FROM orders
+    UNION ALL SELECT 10 + c_nationkey, 2000 + c_custkey FROM customer
     UNION ALL SELECT 10 + s_nationkey, 50 + s_suppkey FROM supplier
     UNION ALL SELECT n_regionkey, 10 + n_nationkey FROM nation
 """
@@ -44,10 +44,10 @@ def _rev_supply_web_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
     nation = _t(spark, sf_dir, "nation")
     edges = (
         orders.select(
-            (1000 + F.col("o_custkey")).alias("src"),
-            (10000 + F.col("o_orderkey")).alias("dst"),
+            (2000 + F.col("o_custkey")).alias("src"),
+            (100000 + F.col("o_orderkey")).alias("dst"),
         )
-        .union(customer.select(10 + F.col("c_nationkey"), 1000 + F.col("c_custkey")))
+        .union(customer.select(10 + F.col("c_nationkey"), 2000 + F.col("c_custkey")))
         .union(supplier.select(10 + F.col("s_nationkey"), 50 + F.col("s_suppkey")))
         .union(nation.select(F.col("n_regionkey"), 10 + F.col("n_nationkey")))
         .select(F.col("src").cast("long"), F.col("dst").cast("long"), F.lit(1.0).alias("weight"))
@@ -56,8 +56,8 @@ def _rev_supply_web_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
         _t(spark, sf_dir, "region").select(F.col("r_regionkey").cast("long").alias("node_id"))
         .union(nation.select((10 + F.col("n_nationkey")).cast("long")))
         .union(supplier.select((50 + F.col("s_suppkey")).cast("long")))
-        .union(customer.select((1000 + F.col("c_custkey")).cast("long")))
-        .union(orders.select((10000 + F.col("o_orderkey")).cast("long")))
+        .union(customer.select((2000 + F.col("c_custkey")).cast("long")))
+        .union(orders.select((100000 + F.col("o_orderkey")).cast("long")))
     )
     max_id = edges.agg(F.greatest(F.max("src"), F.max("dst")).alias("m")).collect()[0]["m"]
     return LinkGraph(edges=edges, vertices=vertices, node_count=int(max_id) + 1)

@@ -50,8 +50,16 @@ _ANN_BUCKET4_SQL = " + ".join(
 # --------------------------------------------------------------------------
 
 def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The oracle is the exact closed form, so pin exactness past the
+    # auto-sampling guard (at sf0.1 the tree has 166k vertices > the 100k
+    # default limit, but exact MSBFS is cheap here: the tree is depth-3 and
+    # almost all sources are leaves, so total pair rows stay ~O(V)). The
+    # guard's auto-sample behavior is exercised by betweenness_sampled and
+    # tests/test_dijkstra_guards.py.
     g = _supply_tree_graph(spark, sf_dir, weighted=False)
-    return betweenness(g).select("node_id", F.col("score").cast("long").alias("score"))
+    return betweenness(g, exact_source_limit=1_000_000).select(
+        "node_id", F.col("score").cast("long").alias("score")
+    )
 
 
 Q_BETWEENNESS_SQL = """
@@ -70,10 +78,10 @@ Q_BETWEENNESS_SQL = """
     UNION ALL
     SELECT CAST(50 + s_suppkey AS BIGINT), 0 FROM supplier
     UNION ALL
-    SELECT CAST(1000 + c_custkey AS BIGINT), CAST(2 * COALESCE(n_ord, 0) AS BIGINT)
+    SELECT CAST(2000 + c_custkey AS BIGINT), CAST(2 * COALESCE(n_ord, 0) AS BIGINT)
     FROM customer LEFT JOIN ord_per_cust ON o_custkey = c_custkey
     UNION ALL
-    SELECT CAST(10000 + o_orderkey AS BIGINT), 0 FROM orders
+    SELECT CAST(100000 + o_orderkey AS BIGINT), 0 FROM orders
 """
 
 
@@ -100,7 +108,7 @@ Q_TRIANGLE_LISTING_SQL = f"""
 
 def q_subgraph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _supply_web_graph(spark, sf_dir)
-    sub = subgraph_filter(g, node_filter="node_id >= 1000")
+    sub = subgraph_filter(g, node_filter="node_id >= 2000")
     deg = sub.edges.groupBy("src").agg(F.count("*").alias("degree"))
     return (
         sub.vertices.join(deg, sub.vertices["node_id"] == deg["src"], "left")
@@ -109,9 +117,9 @@ def q_subgraph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q_SUBGRAPH_SQL = """
-    SELECT CAST(1000 + c_custkey AS BIGINT) AS node_id, CAST(0 AS BIGINT) AS degree FROM customer
+    SELECT CAST(2000 + c_custkey AS BIGINT) AS node_id, CAST(0 AS BIGINT) AS degree FROM customer
     UNION ALL
-    SELECT CAST(10000 + o_orderkey AS BIGINT), 1 FROM orders
+    SELECT CAST(100000 + o_orderkey AS BIGINT), 1 FROM orders
 """
 
 
@@ -338,17 +346,17 @@ Q_INDIRECT_EXPOSURE_SQL = """
            CASE WHEN ne.n_nationkey IS NOT NULL THEN 0 ELSE NULL END
     FROM ws LEFT JOIN nat_exp ne ON ne.n_nationkey = ws.s_nationkey
     UNION ALL
-    SELECT CAST(1000 + ct.c_custkey AS BIGINT),
+    SELECT CAST(2000 + ct.c_custkey AS BIGINT),
            CAST(FLOOR(COALESCE(ce.exposure, 0.0) * 1e8 + 0.3183098861837907) AS BIGINT),
            CASE WHEN ce.c_custkey IS NOT NULL THEN 2 ELSE NULL END,
            CASE WHEN ce.c_custkey IS NOT NULL THEN CAST(10 + ct.c_nationkey AS BIGINT) ELSE NULL END,
            CASE WHEN ce.c_custkey IS NOT NULL THEN 0 ELSE NULL END
     FROM cust_tot ct LEFT JOIN cust_exp ce ON ce.c_custkey = ct.c_custkey
     UNION ALL
-    SELECT CAST(10000 + wo.o_orderkey AS BIGINT),
+    SELECT CAST(100000 + wo.o_orderkey AS BIGINT),
            CAST(FLOOR(COALESCE(ce.exposure * wo.w / wo.w, 0.0) * 1e8 + 0.3183098861837907) AS BIGINT),
            CASE WHEN ce.c_custkey IS NOT NULL THEN 3 ELSE NULL END,
-           CASE WHEN ce.c_custkey IS NOT NULL THEN CAST(1000 + wo.o_custkey AS BIGINT) ELSE NULL END,
+           CASE WHEN ce.c_custkey IS NOT NULL THEN CAST(2000 + wo.o_custkey AS BIGINT) ELSE NULL END,
            CASE WHEN ce.c_custkey IS NOT NULL THEN 0 ELSE NULL END
     FROM wo LEFT JOIN cust_exp ce ON ce.c_custkey = wo.o_custkey
 """

@@ -22,7 +22,7 @@ from graph_data_science_spark.queries_ext import _supply_tree_graph
 # so each nation IS one SCC; the nation-to-nation forward edges make the
 # condensation non-trivial without merging components. The engine's
 # component id convention is the MAX member node id — closed-form:
-# 1000 + max(c_custkey) per nation (reference semantics: Scc.java:36
+# 2000 + max(c_custkey) per nation (reference semantics: Scc.java:36
 # assigns one component per maximal strongly connected set; the id
 # convention is ours, documented in scc.py).
 # --------------------------------------------------------------------------
@@ -38,7 +38,7 @@ def _nation_cycle_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
     capture rounds (both O(cycle length)), keeping the gate fast while the
     number of SCCs scales with the data."""
     customer = _t(spark, sf_dir, "customer")
-    nodes = customer.select((1000 + F.col("c_custkey")).cast("long").alias("node_id"))
+    nodes = customer.select((2000 + F.col("c_custkey")).cast("long").alias("node_id"))
     wn = Window.partitionBy("c_nationkey").orderBy("c_custkey")
     grouped = customer.select(
         "c_nationkey",
@@ -49,14 +49,14 @@ def _nation_cycle_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
     ring = grouped.select(
         "c_nationkey",
         "grp",
-        (1000 + F.col("c_custkey")).cast("long").alias("src"),
+        (2000 + F.col("c_custkey")).cast("long").alias("src"),
         F.lead(F.col("c_custkey")).over(wg).alias("_next"),
         F.min(F.col("c_custkey")).over(Window.partitionBy("c_nationkey", "grp")).alias("_first"),
     ).select(
         "c_nationkey",
         "grp",
         "src",
-        (1000 + F.coalesce(F.col("_next"), F.col("_first"))).cast("long").alias("dst"),
+        (2000 + F.coalesce(F.col("_next"), F.col("_first"))).cast("long").alias("dst"),
     )
     # Cross-group DAG edges: the minimum customer of each group points at
     # the minimum of the NEXT group in the same nation (strictly forward —
@@ -66,8 +66,8 @@ def _nation_cycle_graph(spark: SparkSession, sf_dir: str) -> LinkGraph:
         "c_nationkey", (F.col("grp") + 1).alias("grp"), F.col("mk").alias("mk_next")
     )
     cross = firsts.join(nxt, ["c_nationkey", "grp"]).select(
-        (1000 + F.col("mk")).cast("long").alias("src"),
-        (1000 + F.col("mk_next")).cast("long").alias("dst"),
+        (2000 + F.col("mk")).cast("long").alias("src"),
+        (2000 + F.col("mk_next")).cast("long").alias("dst"),
     )
     edges = ring.select("src", "dst").union(cross).withColumn("weight", F.lit(1.0))
     return LinkGraph(edges=edges, vertices=nodes)
@@ -85,8 +85,8 @@ Q_SCC_SQL = f"""
                     / {_SCC_CYCLE_LEN}) AS BIGINT) AS grp
         FROM customer
     )
-    SELECT CAST(1000 + c_custkey AS BIGINT) AS node_id,
-           CAST(1000 + MAX(c_custkey) OVER (PARTITION BY c_nationkey, grp) AS BIGINT) AS component
+    SELECT CAST(2000 + c_custkey AS BIGINT) AS node_id,
+           CAST(2000 + MAX(c_custkey) OVER (PARTITION BY c_nationkey, grp) AS BIGINT) AS component
     FROM grouped
 """
 
@@ -111,13 +111,13 @@ def q_k1coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graph_data_science_spark.queries_ext import _nation_clique_edges
 
     pend = customer.select(
-        (1000 + F.col("c_custkey")).cast("long").alias("src"),
+        (2000 + F.col("c_custkey")).cast("long").alias("src"),
         (10 + F.col("c_nationkey")).cast("long").alias("dst"),
         F.lit(1.0).alias("weight"),
     )
     edges = _nation_clique_edges(spark, sf_dir).union(pend)
     vertices = nation.select((10 + F.col("n_nationkey")).cast("long").alias("node_id")).union(
-        customer.select((1000 + F.col("c_custkey")).cast("long"))
+        customer.select((2000 + F.col("c_custkey")).cast("long"))
     )
     g = LinkGraph(edges=edges, vertices=vertices)
     res = k1coloring(g, max_iterations=100)
@@ -146,7 +146,7 @@ Q_K1C_SQL = """
            CAST(1 AS INT) AS colors_within_bound
     FROM nation
     UNION ALL
-    SELECT CAST(1000 + c_custkey AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS INT)
+    SELECT CAST(2000 + c_custkey AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS INT)
     FROM customer
 """
 
@@ -178,10 +178,10 @@ Q_BETWEENNESS_SAMPLED_SQL = """
     UNION ALL
     SELECT CAST(50 + s_suppkey AS BIGINT), 0 FROM supplier
     UNION ALL
-    SELECT CAST(1000 + c_custkey AS BIGINT), CAST(COALESCE(n_ord, 0) AS BIGINT)
+    SELECT CAST(2000 + c_custkey AS BIGINT), CAST(COALESCE(n_ord, 0) AS BIGINT)
     FROM customer LEFT JOIN ord_per_cust ON o_custkey = c_custkey
     UNION ALL
-    SELECT CAST(10000 + o_orderkey AS BIGINT), 0 FROM orders
+    SELECT CAST(100000 + o_orderkey AS BIGINT), 0 FROM orders
 """
 
 
@@ -226,17 +226,17 @@ Q_DIJKSTRA_SQL = """
                 CAST((1 + n_nationkey % 3) + (1 + s_suppkey % 5) AS BIGINT)]
         FROM supplier JOIN nation ON n_nationkey = s_nationkey WHERE n_regionkey = 0
         UNION ALL
-        SELECT CAST(1000 + c_custkey AS BIGINT),
+        SELECT CAST(2000 + c_custkey AS BIGINT),
                CAST((1 + n_nationkey % 3) + (1 + c_custkey % 7) AS BIGINT),
-               [CAST(0 AS BIGINT), CAST(10 + n_nationkey AS BIGINT), CAST(1000 + c_custkey AS BIGINT)],
+               [CAST(0 AS BIGINT), CAST(10 + n_nationkey AS BIGINT), CAST(2000 + c_custkey AS BIGINT)],
                [CAST(0 AS BIGINT), CAST(1 + n_nationkey % 3 AS BIGINT),
                 CAST((1 + n_nationkey % 3) + (1 + c_custkey % 7) AS BIGINT)]
         FROM customer JOIN nation ON n_nationkey = c_nationkey WHERE n_regionkey = 0
         UNION ALL
-        SELECT CAST(10000 + o_orderkey AS BIGINT),
+        SELECT CAST(100000 + o_orderkey AS BIGINT),
                CAST((1 + n_nationkey % 3) + (1 + c_custkey % 7) + (1 + o_orderkey % 11) AS BIGINT),
-               [CAST(0 AS BIGINT), CAST(10 + n_nationkey AS BIGINT), CAST(1000 + c_custkey AS BIGINT),
-                CAST(10000 + o_orderkey AS BIGINT)],
+               [CAST(0 AS BIGINT), CAST(10 + n_nationkey AS BIGINT), CAST(2000 + c_custkey AS BIGINT),
+                CAST(100000 + o_orderkey AS BIGINT)],
                [CAST(0 AS BIGINT), CAST(1 + n_nationkey % 3 AS BIGINT),
                 CAST((1 + n_nationkey % 3) + (1 + c_custkey % 7) AS BIGINT),
                 CAST((1 + n_nationkey % 3) + (1 + c_custkey % 7) + (1 + o_orderkey % 11) AS BIGINT)]

@@ -83,11 +83,11 @@ Q_MST_SQL = """
            CAST(1 + s_suppkey % 5 AS DOUBLE)
       FROM supplier
     UNION ALL
-    SELECT CAST(1000 + c_custkey AS BIGINT), CAST(10 + c_nationkey AS BIGINT),
+    SELECT CAST(2000 + c_custkey AS BIGINT), CAST(10 + c_nationkey AS BIGINT),
            CAST(1 + c_custkey % 7 AS DOUBLE)
       FROM customer
     UNION ALL
-    SELECT CAST(10000 + o_orderkey AS BIGINT), CAST(1000 + o_custkey AS BIGINT),
+    SELECT CAST(100000 + o_orderkey AS BIGINT), CAST(2000 + o_custkey AS BIGINT),
            CAST(1 + o_orderkey % 11 AS DOUBLE)
       FROM orders
 """
@@ -104,7 +104,7 @@ def q_kspan(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = _t(spark, sf_dir, "customer")
     edges = customer.select(
         F.lit(0).cast("long").alias("src"),
-        (1000 + F.col("c_custkey")).cast("long").alias("dst"),
+        (2000 + F.col("c_custkey")).cast("long").alias("dst"),
         F.col("c_custkey").cast("double").alias("weight"),
     )
     g = LinkGraph(edges=edges)
@@ -116,7 +116,7 @@ Q_KSPAN_SQL = f"""
     SELECT CAST(0 AS BIGINT) AS node_id, CAST(-1 AS BIGINT) AS parent, 0.0 AS cost_to_parent
     UNION ALL
     SELECT * FROM (
-        SELECT CAST(1000 + c_custkey AS BIGINT) AS node_id, CAST(0 AS BIGINT) AS parent,
+        SELECT CAST(2000 + c_custkey AS BIGINT) AS node_id, CAST(0 AS BIGINT) AS parent,
                CAST(c_custkey AS DOUBLE) AS cost_to_parent
         FROM customer ORDER BY c_custkey ASC LIMIT {_KSPAN_K - 1}
     )
@@ -139,7 +139,7 @@ def q_steiner(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(_t(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
             .join(_t(spark, sf_dir, "nation"), F.col("c_nationkey") == F.col("n_nationkey"))
             .filter(F.col("n_regionkey") == 0)
-            .select((10000 + F.col("o_orderkey")).cast("long").alias("t"))
+            .select((100000 + F.col("o_orderkey")).cast("long").alias("t"))
             .orderBy("t")
             .limit(_STEINER_TERMINALS)
             .collect()
@@ -163,11 +163,11 @@ Q_STEINER_SQL = f"""
            CAST(1 + c_nationkey % 3 AS DOUBLE)
       FROM terms
     UNION ALL
-    SELECT DISTINCT CAST(1000 + o_custkey AS BIGINT), CAST(10 + c_nationkey AS BIGINT),
+    SELECT DISTINCT CAST(2000 + o_custkey AS BIGINT), CAST(10 + c_nationkey AS BIGINT),
            CAST(1 + o_custkey % 7 AS DOUBLE)
       FROM terms
     UNION ALL
-    SELECT CAST(10000 + o_orderkey AS BIGINT), CAST(1000 + o_custkey AS BIGINT),
+    SELECT CAST(100000 + o_orderkey AS BIGINT), CAST(2000 + o_custkey AS BIGINT),
            CAST(1 + o_orderkey % 11 AS DOUBLE)
       FROM terms
 """
@@ -196,9 +196,9 @@ Q_DFS_SQL = """
         UNION ALL
         SELECT CAST(10 + s_nationkey AS BIGINT), CAST(50 + s_suppkey AS BIGINT) FROM supplier
         UNION ALL
-        SELECT CAST(10 + c_nationkey AS BIGINT), CAST(1000 + c_custkey AS BIGINT) FROM customer
+        SELECT CAST(10 + c_nationkey AS BIGINT), CAST(2000 + c_custkey AS BIGINT) FROM customer
         UNION ALL
-        SELECT CAST(1000 + o_custkey AS BIGINT), CAST(10000 + o_orderkey AS BIGINT) FROM orders
+        SELECT CAST(2000 + o_custkey AS BIGINT), CAST(100000 + o_orderkey AS BIGINT) FROM orders
     ),
     walk AS (
         SELECT CAST(0 AS BIGINT) AS node_id, [CAST(0 AS BIGINT)] AS pneg
@@ -231,7 +231,7 @@ def q_astar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(_t(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
         .join(_t(spark, sf_dir, "nation"), F.col("c_nationkey") == F.col("n_nationkey"))
         .filter(F.col("n_regionkey") == 0)
-        .agg(F.min(10000 + F.col("o_orderkey")).alias("t"))
+        .agg(F.min(100000 + F.col("o_orderkey")).alias("t"))
         .collect()[0]["t"]
     )
     coords = g.vertices.select(
@@ -259,10 +259,10 @@ Q_ASTAR_SQL = """
         ORDER BY o_orderkey ASC LIMIT 1
     )
     SELECT CAST(0 AS BIGINT) AS index, CAST(0 AS BIGINT) AS source_node,
-           CAST(10000 + o_orderkey AS BIGINT) AS target_node,
+           CAST(100000 + o_orderkey AS BIGINT) AS target_node,
            CAST((1 + c_nationkey % 3) + (1 + o_custkey % 7) + (1 + o_orderkey % 11) AS BIGINT) AS total_cost,
-           [CAST(0 AS BIGINT), CAST(10 + c_nationkey AS BIGINT), CAST(1000 + o_custkey AS BIGINT),
-            CAST(10000 + o_orderkey AS BIGINT)] AS node_ids,
+           [CAST(0 AS BIGINT), CAST(10 + c_nationkey AS BIGINT), CAST(2000 + o_custkey AS BIGINT),
+            CAST(100000 + o_orderkey AS BIGINT)] AS node_ids,
            [CAST(0 AS BIGINT), CAST(1 + c_nationkey % 3 AS BIGINT),
             CAST((1 + c_nationkey % 3) + (1 + o_custkey % 7) AS BIGINT),
             CAST((1 + c_nationkey % 3) + (1 + o_custkey % 7) + (1 + o_orderkey % 11) AS BIGINT)] AS costs

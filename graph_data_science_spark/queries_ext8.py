@@ -236,15 +236,15 @@ Q_WEIGHTED_ASP_SQL = """
     UNION ALL SELECT n_regionkey, 10 + n_nationkey, w FROM wn
     UNION ALL SELECT wn.n_regionkey, 50 + ws.s_suppkey, wn.w + ws.w
       FROM ws JOIN wn ON wn.n_nationkey = ws.s_nationkey
-    UNION ALL SELECT wn.n_regionkey, 1000 + wc.c_custkey, wn.w + wc.w
+    UNION ALL SELECT wn.n_regionkey, 2000 + wc.c_custkey, wn.w + wc.w
       FROM wc JOIN wn ON wn.n_nationkey = wc.c_nationkey
-    UNION ALL SELECT wn.n_regionkey, 10000 + wo.o_orderkey, wn.w + wc.w + wo.w
+    UNION ALL SELECT wn.n_regionkey, 100000 + wo.o_orderkey, wn.w + wc.w + wo.w
       FROM wo JOIN wc ON wc.c_custkey = wo.o_custkey JOIN wn ON wn.n_nationkey = wc.c_nationkey
     -- nation sources
     UNION ALL SELECT 10 + n_nationkey, 10 + n_nationkey, 0 FROM nation
     UNION ALL SELECT 10 + ws.s_nationkey, 50 + ws.s_suppkey, ws.w FROM ws
-    UNION ALL SELECT 10 + wc.c_nationkey, 1000 + wc.c_custkey, wc.w FROM wc
-    UNION ALL SELECT 10 + wc.c_nationkey, 10000 + wo.o_orderkey, wc.w + wo.w
+    UNION ALL SELECT 10 + wc.c_nationkey, 2000 + wc.c_custkey, wc.w FROM wc
+    UNION ALL SELECT 10 + wc.c_nationkey, 100000 + wo.o_orderkey, wc.w + wo.w
       FROM wo JOIN wc ON wc.c_custkey = wo.o_custkey
 """
 
