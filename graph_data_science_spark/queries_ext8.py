@@ -308,15 +308,20 @@ Q_FILTERED_KNN_SOURCES_SQL = """
 def q_filtered_knn_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """seededOptimally shortcut: |targets| = 5 = k, so seeding alone fills
     every filtered list and the result is the exact scoring of
-    sources x targets (FilteredKnn.compute() skips the descent)."""
+    sources x targets (FilteredKnn.compute() skips the descent). The
+    target cutoff is derived from the corpus max id so the shortcut's
+    |targets| <= k precondition holds at EVERY scale factor — a fixed
+    495 cutoff left 5 targets at sf0.01 (500 vectors) but ~1,500 at
+    sf0.1, where descent is approximate and the exact oracle diverges."""
     emb = _t(spark, sf_dir, "embeddings")
+    max_id = emb.agg(F.max("vec_id").alias("m")).collect()[0]["m"]
     res = filtered_knn(
         emb,
         k=5,
         id_col="vec_id",
         vec_col="embedding",
         source_filter=F.col("vec_id") % 25 == 0,
-        target_filter=F.col("vec_id") >= 495,
+        target_filter=F.col("vec_id") >= int(max_id) - 4,
         seeding=True,
     )
     return res.neighbors.select(
@@ -330,7 +335,7 @@ Q_FILTERED_KNN_TARGETS_SQL = """
            WHERE vec_id % 25 = 0),
     te AS MATERIALIZED (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
            FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
-           WHERE vec_id >= 495),
+           WHERE vec_id >= (SELECT MAX(vec_id) - 4 FROM embeddings)),
     nrm_s AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM se GROUP BY vec_id),
     nrm_t AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM te GROUP BY vec_id),
     dots AS (
