@@ -253,6 +253,16 @@ def main() -> None:
         extra_conf={"spark.default.parallelism": str(cpus)},
     )
 
+    # Pre-drain: the sentinel below is a light 1-core aggregation that can
+    # pass while residual multi-core load (a just-finished sweep's tail)
+    # still steals cores from the 32-core headline — observed inflating
+    # pagerank_transcripts ~50% with every later query unaffected. Wait for
+    # the 1-min loadavg to drain before measuring anything.
+    for _ in range(36):  # up to 3 min
+        if _loadavg()[0] < 1.0:
+            break
+        time.sleep(5)
+
     load_start = _loadavg()
     edges_path, node_count, n_edges = _build_graph_parquet(spark, sf, work)
 
