@@ -535,6 +535,24 @@ ALGORITHMS: dict[str, Callable[..., DataFrame]] = {
     "graph.relationships.split": _split_relationships,
 }
 
+# Reference procedure-name aliases (same callables, the spellings GDS
+# users type): gds.shortestPath.{dijkstra,astar,yens} are the
+# source-target procs (`proc/path-finding/.../ShortestPathDijkstraStreamProc.java`),
+# gds.allShortestPaths.{dijkstra,delta} the single-source ones
+# (`AllShortestPathsDijkstraStreamProc.java`, delta = delta-stepping),
+# gds.closeness.harmonic the harmonic proc spelling
+# (`alpha/.../HarmonicCentralityProc.java`).
+ALGORITHMS.update(
+    {
+        "shortestPath.dijkstra": _dijkstra,
+        "shortestPath.astar": _astar,
+        "shortestPath.yens": _yens,
+        "allShortestPaths.dijkstra": _dijkstra,
+        "allShortestPaths.delta": _delta_stepping,
+        "closeness.harmonic": _harmonic,
+    }
+)
+
 
 # Community-shaped results: ``score`` is a community/component id, so the
 # reference's stats mode summarizes the distribution of *community sizes*
@@ -814,6 +832,64 @@ class Procedures:
                 desc = (m.__doc__ or "").strip().splitlines()
                 rows.append(
                     {"name": f"{prefix}.{attr}", "description": desc[0] if desc else ""}
+                )
+        # Operability procs on this dispatcher itself (reference ListProc,
+        # ListProgressProc, UserLogProc, memory list/summary).
+        for name, method in (
+            ("gds.list", self.list_procedures),
+            ("gds.listProgress", self.list_progress),
+            ("gds.userLog", self.user_log),
+            ("gds.memory.list", self.memory_list),
+            ("gds.memory.summary", self.memory_summary),
+        ):
+            desc = (method.__doc__ or "").strip().splitlines()
+            rows.append({"name": name, "description": desc[0] if desc else ""})
+        # Pipeline *builder* surface, reference-spelled per pipeline kind
+        # (`gds.beta.pipeline.linkPrediction.addLogisticRegression` et al.
+        # — proc/pipeline-catalog/.../LinkPredictionPipelineAddStepProcs.java);
+        # each maps to the same-named snake_case TrainingPipeline method.
+        from graph_data_science_spark.ml.pipeline_catalog import (
+            LinkPredictionPipeline,
+            NodeClassificationPipeline,
+            NodeRegressionPipeline,
+        )
+
+        def _camel(attr: str) -> str:
+            head, *rest = attr.split("_")
+            return head + "".join(w.capitalize() for w in rest)
+
+        for kind, cls in (
+            ("linkPrediction", LinkPredictionPipeline),
+            ("nodeClassification", NodeClassificationPipeline),
+            ("nodeRegression", NodeRegressionPipeline),
+        ):
+            rows.append(
+                {
+                    "name": f"gds.pipeline.{kind}.create",
+                    "description": f"create a named {kind} training pipeline",
+                }
+            )
+            rows.append(
+                {
+                    "name": f"gds.pipeline.{kind}.predict",
+                    "description": (
+                        "apply the trained pipeline model: result.model.predict(df) / "
+                        "result.predictions (train returns the result object)"
+                    ),
+                }
+            )
+            for attr in sorted(dir(cls)):
+                if attr.startswith("_") or attr == "to_map":
+                    continue
+                m = getattr(cls, attr)
+                if not callable(m):
+                    continue
+                desc = (m.__doc__ or "").strip().splitlines()
+                rows.append(
+                    {
+                        "name": f"gds.pipeline.{kind}.{_camel(attr)}",
+                        "description": desc[0] if desc else "",
+                    }
                 )
         if like:
             rows = [r for r in rows if like.lower() in r["name"].lower()]

@@ -155,6 +155,40 @@ class GraphCatalog:
             "relationshipCount": g.relationship_count(),
         }
 
+    def generate(
+        self,
+        name: str,
+        node_count: int,
+        average_degree: int,
+        distribution: str = "uniform",
+        seed: int | str = 42,
+        allow_self_loops: bool = False,
+        overwrite: bool = False,
+    ) -> dict:
+        """gds.beta.graph.generate analog (reference
+        ``proc/misc/.../GraphGenerateProc.java`` →
+        ``core/.../beta/generator/RandomGraphGenerator.java``): generate a
+        random graph with the reference's degree/target semantics and
+        project it into the catalog under ``name``."""
+        from graph_data_science_spark.graph.generate import random_graph
+
+        g = random_graph(
+            self.spark,
+            node_count=node_count,
+            average_degree=average_degree,
+            distribution=distribution,
+            seed=seed,
+            allow_self_loops=allow_self_loops,
+        )
+        self.project(name, g, overwrite=overwrite)
+        m = self._manifest(name)
+        return {
+            "name": name,
+            "nodes": m["node_count"],
+            "relationships": m["relationship_count"],
+            "relationshipDistribution": distribution,
+        }
+
     def export_csv(self, name: str, path: str) -> dict:
         """gds.graph.export.csv analog (reference
         ``GraphStoreExportProc.java`` → ``io/csv/.../GraphStoreToCsv

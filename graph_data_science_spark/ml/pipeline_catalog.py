@@ -50,6 +50,7 @@ class TrainingPipeline:
         self.node_property_steps: list[dict] = []
         self.parameter_space: list[dict] = []
         self.split_config: dict = {"test_fraction": 0.3, "validation_folds": 3}
+        self.max_trials: int = 10
 
     # -- builder steps ----------------------------------------------------
     def add_node_property(self, algo: str, mutate_property: str, **config) -> "TrainingPipeline":
@@ -65,6 +66,20 @@ class TrainingPipeline:
         negative_sampling_ratio for link pipelines)."""
         self.split_config.update(config)
         return self
+
+    def configure_auto_tuning(self, max_trials: int = 10) -> "TrainingPipeline":
+        """``.configureAutoTuning({maxTrials})`` (reference
+        ``AutoTuningConfig.java`` — caps how many parameter-space
+        candidates the cross-validation selection trials; default 10)."""
+        if max_trials < 1:
+            raise ValueError("max_trials must be >= 1")
+        self.max_trials = int(max_trials)
+        return self
+
+    def _candidates(self) -> list[dict]:
+        """Parameter-space candidates the selection actually trials,
+        capped at ``max_trials`` in insertion order."""
+        return [dict(c) for c in self.parameter_space[: self.max_trials]]
 
     def _add_trainer(self, method_key: str, **config) -> "TrainingPipeline":
         self.parameter_space.append({"method": _METHOD_BUILDERS[method_key], **config})
@@ -168,7 +183,7 @@ class NodeClassificationPipeline(TrainingPipeline):
             feats.select("node_id", "features", "label"),
             test_fraction=self.split_config["test_fraction"],
             validation_folds=self.split_config["validation_folds"],
-            model_candidates=[dict(c) for c in self.parameter_space],
+            model_candidates=self._candidates(),
             seed=seed,
         )
 
@@ -195,7 +210,7 @@ class NodeRegressionPipeline(NodeClassificationPipeline):
             feats.select("node_id", "features", "target"),
             test_fraction=self.split_config["test_fraction"],
             validation_folds=self.split_config["validation_folds"],
-            model_candidates=[dict(c) for c in self.parameter_space],
+            model_candidates=self._candidates(),
             seed=seed,
         )
 
@@ -255,7 +270,7 @@ class LinkPredictionPipeline(TrainingPipeline):
             negative_sampling_ratio=self.split_config["negative_sampling_ratio"],
             test_fraction=self.split_config["test_fraction"],
             validation_folds=self.split_config["validation_folds"],
-            model_candidates=[dict(c) for c in self.parameter_space],
+            model_candidates=self._candidates(),
             seed=seed,
         )
 
