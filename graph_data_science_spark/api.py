@@ -818,6 +818,12 @@ class Procedures:
             desc = desc[0] if desc else f"{name} algorithm"
             for mode in ("stream", "stats", "mutate", "write"):
                 rows.append({"name": f"gds.{name}.{mode}", "description": desc})
+                rows.append(
+                    {
+                        "name": f"gds.{name}.{mode}.estimate",
+                        "description": f"memory estimate for {name} (Procedures.estimate)",
+                    }
+                )
         for holder, prefix in (
             (self.catalog, "gds.graph"),
             (self.models, "gds.model"),
@@ -936,3 +942,89 @@ class Procedures:
         result.write.mode("overwrite").parquet(path)
         n = result.sparkSession.read.parquet(path).count()
         return {"nodePropertiesWritten": n, "path": path, "computeSeconds": wall}
+
+    # Per-algorithm state/message row widths for estimate() — the analog of
+    # the reference's per-algo MemoryEstimateDefinition classes
+    # (``algo/.../pagerank/PageRankMemoryEstimateDefinition.java`` et al.):
+    # bytes per vertex-state row and per shuffled message row. Embedding
+    # algorithms scale with the embedding dimension (handled in estimate());
+    # unlisted algorithms use the SuperstepLoop.predict defaults (32, 24).
+    _ESTIMATE_ROW_BYTES: dict[str, tuple[int, int]] = {
+        "pageRank": (24, 16),  # (node_id, score, delta) / (node_id, msg)
+        "articleRank": (24, 16),
+        "eigenvector": (24, 16),
+        "wcc": (16, 16),  # (node_id, component) / min-label messages
+        "labelPropagation": (24, 24),
+        "scc": (24, 16),
+        "k1coloring": (16, 16),
+        "kcore": (16, 16),
+        "sllpa": (40, 24),  # memberships array amortized
+        "triangleCount": (16, 24),
+        "louvain": (32, 24),
+        "leiden": (32, 24),
+        "bfs": (16, 16),
+        "bellmanFord": (24, 24),  # (node_id, dist, parent)
+        "dijkstra": (24, 24),
+        "deltaStepping": (24, 24),
+        "betweenness": (40, 32),  # per-(source, node) pair rows — see note
+        "closeness": (40, 32),
+        "harmonic": (40, 32),
+    }
+    _EMBEDDING_ALGOS = {"fastRP", "node2vec", "beta.graphSage", "hashgnn"}
+    _PAIR_FRONTIER_ALGOS = {"betweenness", "closeness", "harmonic"}
+
+    def estimate(self, algo: str, graph_name: str, **config) -> dict[str, Any]:
+        """``gds.<algo>.<mode>.estimate`` analog (reference
+        ``MemoryEstimateResult.java`` over the per-algo
+        ``MemoryEstimateDefinition``s): predict memory from the catalog
+        manifest's |V| and |E| WITHOUT scanning data or running anything.
+        Returns bytesMin/bytesMax + the superstep-loop prediction fields;
+        where GDS's guard aborts (it cannot spill), a shuffle engine
+        spills, so the result carries ``predictedSpill`` instead."""
+        if self._registered.get(algo) is None and ALGORITHMS.get(algo) is None:
+            raise KeyError(f"unknown algorithm {algo!r}")
+        m = self.catalog.memory_usage(graph_name)
+        v, e = int(m["nodeCount"]), int(m["relationshipCount"])
+        state_b, msg_b = self._ESTIMATE_ROW_BYTES.get(algo, (32, 24))
+        if algo in self._EMBEDDING_ALGOS:
+            dim = int(
+                config.get("embedding_dim")
+                or config.get("dimensions")
+                or config.get("embedding_dimension", 64)
+            )
+            state_b = 8 + 8 * dim  # node_id + dense double vector
+            msg_b = state_b  # neighbor aggregation ships vectors
+        sources = config.get("sources")
+        n_sources = (
+            len(sources)
+            if sources is not None and not isinstance(sources, DataFrame)
+            else config.get("sample_size") or v
+        )
+        if algo in self._PAIR_FRONTIER_ALGOS:
+            # state is per-(source, node) pair rows at the frontier; the
+            # upper bound scales with the source count (exact all-sources
+            # defaults are guarded by exact_source_limit for this reason).
+            state_b = state_b * max(1, int(n_sources))
+        state_mb = round(v * state_b / 1e6, 2)
+        shuffle_mb = round(e * msg_b / 1e6, 2)
+        bytes_min = int(v * state_b)
+        bytes_max = int(v * state_b + e * msg_b)
+        out = {
+            "algorithm": algo,
+            "graphName": graph_name,
+            "nodeCount": v,
+            "relationshipCount": e,
+            "bytesMin": bytes_min,
+            "bytesMax": bytes_max,
+            "requiredMemory": f"[{bytes_min // 1_000_000} MB ... {bytes_max // 1_000_000} MB]",
+            "predictedStateMb": state_mb,
+            "predictedShuffleMb": shuffle_mb,
+        }
+        if algo in self._PAIR_FRONTIER_ALGOS:
+            out["sources"] = int(n_sources)
+            out["note"] = (
+                "pair-frontier algorithm: state scales with sources x "
+                "reachable; exact all-sources runs are guarded by "
+                "exact_source_limit"
+            )
+        return out

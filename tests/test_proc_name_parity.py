@@ -224,6 +224,46 @@ def test_graph_generate_projects_into_catalog(spark, tmp_path):
     assert a == b
 
 
+def test_estimate_mode(spark, tmp_path):
+    """gds.<algo>.<mode>.estimate analog: manifest-driven prediction, no
+    data scan, embedding-dim and pair-frontier scaling."""
+    from graph_data_science_spark.graph.build import LinkGraph
+    from pyspark.sql import functions as F
+
+    cat = GraphCatalog(spark, str(tmp_path / "cat"))
+    edges = spark.range(100).select(
+        F.col("id").alias("src"),
+        ((F.col("id") + 1) % 100).alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    cat.project("g", LinkGraph(edges=edges, node_count=100))
+    p = Procedures(cat)
+
+    est = p.estimate("pageRank", "g")
+    assert est["nodeCount"] == 100 and est["relationshipCount"] == 100
+    assert est["bytesMin"] == 100 * 24 and est["bytesMax"] == 100 * 24 + 100 * 16
+    assert "MB" in est["requiredMemory"]
+
+    # embedding algos scale with the dimension
+    small = p.estimate("fastRP", "g", embedding_dim=8)
+    big = p.estimate("fastRP", "g", embedding_dim=256)
+    assert big["bytesMax"] > small["bytesMax"]
+
+    # pair-frontier algos scale with the source count and carry the note
+    few = p.estimate("betweenness", "g", sources=[1, 2, 3])
+    allsrc = p.estimate("betweenness", "g")
+    assert few["sources"] == 3 and allsrc["sources"] == 100
+    assert allsrc["bytesMax"] > few["bytesMax"]
+    assert "exact_source_limit" in allsrc["note"]
+
+    with pytest.raises(KeyError):
+        p.estimate("noSuchAlgo", "g")
+
+    # the listing exposes the estimate mode rows
+    names = {r["name"] for r in p.list_procedures(like="pageRank")}
+    assert "gds.pageRank.stream.estimate" in names
+
+
 def test_configure_auto_tuning_caps_candidates():
     from graph_data_science_spark.ml.pipeline_catalog import NodeClassificationPipeline
 
