@@ -94,6 +94,8 @@ def test_list_procedures_and_progress(procs):
     only_rank = procs.list_procedures(like="pagerank")
     assert {r["name"] for r in only_rank} == {
         f"gds.pageRank.{m}" for m in ("stream", "stats", "mutate", "write")
+    } | {
+        f"gds.pageRank.{m}.estimate" for m in ("stream", "stats", "mutate", "write")
     }
 
     procs.stream("degree", "g").collect()
