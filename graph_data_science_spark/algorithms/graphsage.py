@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from graph_data_science_spark.graph.build import LinkGraph
+from graph_data_science_spark.graph.ranks import ordered_cumsum
 
 
 @dataclass
@@ -291,9 +292,14 @@ def graphsage_train(
         raise ValueError("graphsage_train: graph has no edges — no positive pairs to learn from")
     n_buckets = max(64, min(int(n_nodes), 65536))
     bucket_w = float(total_w) / n_buckets
-    cum = wtab.withColumn(
-        "cum_hi", F.sum("w").over(Window.orderBy("node_id").rowsBetween(Window.unboundedPreceding, 0))
-    ).withColumn("cum_lo", F.col("cum_hi") - F.col("w")).filter(F.col("w") > 0)
+    # two-level order-preserving cumsum (graph/ranks.py): per-bucket
+    # running sums + driver prefix of bucket totals — not a partition-less
+    # window, which would single-task O(V) rows every training call
+    cum = (
+        ordered_cumsum(wtab, ["node_id"], "w", cum_col="cum_hi")
+        .withColumn("cum_lo", F.col("cum_hi") - F.col("w"))
+        .filter(F.col("w") > 0)
+    )
     neg_table = cum.select(
         "node_id", "cum_lo", "cum_hi",
         F.explode(

@@ -27,8 +27,10 @@ master edge list — linear in candidates, never all-pairs. A shortfall is
 logged (no silent caps).
 
 At 100 TB: selection is a hash-rank top-k (AQE-splittable single shuffle);
-the negative-sample anti-join keys on (src, dst) like any edge join;
-fraction/k-fold splits are pure window functions over the id table.
+the negative-sample anti-join keys on (src, dst) like any edge join; the
+position maps, fraction ranks, and k-fold sequence indexes are bucketed
+order-preserving ranks (``graph/ranks.py`` — range buckets + per-bucket
+windows + driver prefix offsets), never a partition-less global window.
 """
 
 from __future__ import annotations
@@ -36,10 +38,11 @@ from __future__ import annotations
 import logging
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graph_data_science_spark.graph.build import LinkGraph
+from graph_data_science_spark.graph.ranks import ordered_rank
 
 log = logging.getLogger("spark_link_graph.splitting")
 
@@ -205,10 +208,12 @@ def negative_sample(
         nodes.unpersist()
         return nodes.sparkSession.createDataFrame([], "src long, dst long")
 
-    # dense position → node id map for uniform target draws
-    wpos = Window.orderBy("node_id")
-    pos_map = nodes.select(
-        (F.row_number().over(wpos) - 1).alias("_pos"), F.col("node_id").alias("dst")
+    # dense position → node id map for uniform target draws. Order-
+    # preserving bucketed rank (graph/ranks.py) — NOT a partition-less
+    # row_number window, which would drag the full node set through one
+    # task at scale.
+    pos_map = ordered_rank(nodes, ["node_id"], rank_col="_pos").select(
+        "_pos", F.col("node_id").alias("dst")
     )
 
     dedup_edges = (
@@ -221,15 +226,18 @@ def negative_sample(
         ).distinct()
         srcs = srcs.join(flt, "node_id", "semi")
     deg = dedup_edges.groupBy(F.col("src").alias("node_id")).agg(F.count("*").alias("deg"))
-    srcs = (
-        srcs.join(deg, "node_id", "left")
-        .select("node_id", F.coalesce(F.col("deg"), F.lit(0)).alias("deg"))
-        .withColumn("_sr", F.row_number().over(Window.orderBy("node_id")))
+    srcs = ordered_rank(
+        srcs.join(deg, "node_id", "left").select(
+            "node_id", F.coalesce(F.col("deg"), F.lit(0)).alias("deg")
+        ),
+        ["node_id"],
+        rank_col="_sr",
     ).persist()
     s_count = srcs.count()
     base, extra = divmod(count, max(s_count, 1))
+    # first `extra` sources by id (0-based rank) get one extra draw
     budget = F.least(
-        F.lit(base) + (F.col("_sr") <= extra).cast("long"),
+        F.lit(base) + (F.col("_sr") < extra).cast("long"),
         (F.lit(n - 1) - F.col("deg")).cast("long"),
     )
     draws = (
@@ -266,13 +274,15 @@ def fraction_split(
     """``FractionSplitter.split:42-49``: train = the first
     ⌊n · trainFraction⌋ rows in ``order_col`` order, test = the rest. The
     reference takes ids in caller order (the caller pre-shuffles); the
-    explicit order column is that contract made visible."""
+    explicit order column is that contract made visible. Rank is the
+    bucketed order-preserving one (graph/ranks.py), so no single task
+    ever sees the whole training set."""
     n = df.count()
     train_size = int(n * train_fraction)
-    w = Window.orderBy(F.col(order_col), *[F.col(c) for c in df.columns if c != order_col])
-    ranked = df.withColumn("_r", F.row_number().over(w))
-    train = ranked.filter(F.col("_r") <= train_size).drop("_r")
-    test = ranked.filter(F.col("_r") > train_size).drop("_r")
+    order = [order_col] + [c for c in df.columns if c != order_col]
+    ranked = ordered_rank(df, order, rank_col="_r")
+    train = ranked.filter(F.col("_r") < train_size).drop("_r")
+    test = ranked.filter(F.col("_r") >= train_size).drop("_r")
     return train, test
 
 
@@ -287,13 +297,39 @@ def stratified_kfold_split(
     TEST fold via one global round-robin pointer that carries across
     classes — i.e. fold = (global sequence index over (class, position))
     mod k. Every item is train for the other k−1 folds. Returns the input
-    plus a ``fold`` column (the item's test fold); the per-fold train set
-    is ``fold != f``. Pure window function — no shuffle beyond the sort."""
+    plus a ``fold`` column (the item's test fold).
+
+    Distributed: the global sequence index decomposes as
+    ``class_offset(class) + within_class_rank`` — per-class counts are a
+    tiny collect (one row per class), prefix-summed on the driver in
+    sorted class order, and the within-class rank is the bucketed
+    order-preserving rank partitioned by class (graph/ranks.py). No
+    partition-less window anywhere; per-task work is bounded by the rank
+    bucket size, not the class size."""
     if k < 2:
         raise ValueError("k must be >= 2")
-    w = Window.orderBy(
-        F.col(target_col),
-        F.col(order_col),
-        *[F.col(c) for c in df.columns if c not in (target_col, order_col)],
+    ties = [c for c in df.columns if c not in (target_col, order_col)]
+    cls_rows = df.groupBy(target_col).agg(F.count("*").alias("_n")).collect()
+    # sorted class order: Python's sort matches Spark's for numerics and
+    # for strings (UTF-8 bytewise == code-point order)
+    offsets, acc = [], 0
+    for r in sorted(cls_rows, key=lambda r: r[target_col]):
+        offsets.append((r[target_col], acc))
+        acc += r["_n"]
+    if offsets:
+        off_col = F.element_at(
+            F.map_from_arrays(
+                F.array(*[F.lit(str(v)) for v, _ in offsets]),
+                F.array(*[F.lit(o) for _, o in offsets]),
+            ),
+            F.col(target_col).cast("string"),
+        )
+    else:
+        off_col = F.lit(0)
+    ranked = ordered_rank(
+        df, [order_col] + ties, rank_col="_wr", partition_cols=(target_col,)
     )
-    return df.withColumn("fold", ((F.row_number().over(w) - 1) % k).cast("int"))
+    return (
+        ranked.withColumn("fold", ((F.col("_wr") + off_col) % k).cast("int"))
+        .drop("_wr")
+    )

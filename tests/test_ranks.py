@@ -1,0 +1,123 @@
+"""graph/ranks.py — distributed order-preserving rank/cumsum must be
+bit-identical to the naive partition-less window, and the consumers
+(ml/splitting, graphsage CDF) must not contain a single-partition
+window exchange in their physical plans."""
+
+import os
+import sys
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from graph_data_science_spark.graph.ranks import ordered_cumsum, ordered_rank  # noqa: E402
+
+
+def _naive_rank(df, order_cols, partition_cols=()):
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    return df.withColumn("_exp", (F.row_number().over(w) - 1).cast("long"))
+
+
+def test_rank_matches_naive_window_long_keys(spark):
+    # non-contiguous, duplicated-free long keys in scrambled input order
+    df = spark.range(5000).select(((F.col("id") * 2654435761) % 100003).alias("k"))
+    got = ordered_rank(df, ["k"], rank_col="_r", n_buckets=16)
+    exp = _naive_rank(df, ["k"])
+    mismatch = got.join(exp, "k").filter(F.col("_r") != F.col("_exp")).count()
+    assert mismatch == 0
+
+
+def test_rank_ties_and_tiebreakers(spark):
+    # leading column has heavy ties; tiebreaker decides within the group
+    df = spark.range(2000).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("tb")
+    )
+    got = ordered_rank(df, ["k", "tb"], rank_col="_r", n_buckets=8)
+    exp = _naive_rank(df, ["k", "tb"])
+    mismatch = got.join(exp, ["k", "tb"]).filter(F.col("_r") != F.col("_exp")).count()
+    assert mismatch == 0
+
+
+def test_rank_string_keys(spark):
+    rows = [("",), ("a",), ("aa",), ("aaaaaaaaaaz",), ("aaaaaaaab",), ("b",),
+            ("abc",), ("abcd",), ("zzz",), ("Z",), ("0",), ("~",)]
+    df = spark.createDataFrame(rows, "k string")
+    got = ordered_rank(df, ["k"], rank_col="_r", n_buckets=4)
+    exp = _naive_rank(df, ["k"])
+    mismatch = got.join(exp, "k").filter(F.col("_r") != F.col("_exp")).count()
+    assert mismatch == 0
+
+
+def test_rank_partitioned(spark):
+    df = spark.range(3000).select(
+        (F.col("id") % 3).cast("string").alias("cls"),
+        ((F.col("id") * 48271) % 9973).alias("k"),
+    )
+    got = ordered_rank(df, ["k"], rank_col="_r", partition_cols=("cls",), n_buckets=8)
+    exp = _naive_rank(df, ["k"], partition_cols=("cls",))
+    mismatch = (
+        got.join(exp, ["cls", "k"]).filter(F.col("_r") != F.col("_exp")).count()
+    )
+    assert mismatch == 0
+
+
+def test_rank_single_value_and_empty(spark):
+    one = spark.createDataFrame([(5,), (5,), (5,)], "k int")
+    got = ordered_rank(one, ["k"], rank_col="_r")
+    assert sorted(r["_r"] for r in got.collect()) == [0, 1, 2]
+    empty = spark.createDataFrame([], "k long")
+    assert ordered_rank(empty, ["k"], rank_col="_r").count() == 0
+
+
+def test_cumsum_matches_naive_window(spark):
+    df = spark.range(4000).select(
+        ((F.col("id") * 2654435761) % 100003).alias("k"),
+        (F.col("id") % 13).cast("long").alias("v"),
+    )
+    got = ordered_cumsum(df, ["k"], "v", cum_col="_c", n_buckets=16)
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    exp = df.withColumn("_exp", F.sum("v").over(w))
+    # integral values: exact equality required
+    mismatch = got.join(exp, ["k", "v"]).filter(F.col("_c") != F.col("_exp")).count()
+    assert mismatch == 0
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_rank_plan_has_no_single_partition_window(spark):
+    df = spark.range(1000).select(F.col("id").alias("k"))
+    plan = _physical(ordered_rank(df, ["k"], rank_col="_r", n_buckets=8))
+    assert "SinglePartition" not in plan, plan
+
+
+def test_splitting_plans_have_no_single_partition_exchange(spark):
+    """The r3 verdict's scale finding: fraction_split / stratified_kfold /
+    negative_sample pulled all rows through one task. Guard the fix."""
+    from graph_data_science_spark.ml.splitting import (
+        fraction_split,
+        stratified_kfold_split,
+    )
+
+    df = spark.range(500).select(
+        F.col("id").alias("nid"), (F.col("id") % 3).alias("label")
+    )
+    train, test = fraction_split(df, 0.7, "nid")
+    for d in (train, test):
+        assert "SinglePartition" not in _physical(d), _physical(d)
+    folded = stratified_kfold_split(df, 3, "label", "nid")
+    assert "SinglePartition" not in _physical(folded), _physical(folded)
+
+
+def test_negative_sample_plan_distributed(spark):
+    from graph_data_science_spark.graph.build import LinkGraph
+    from graph_data_science_spark.ml.splitting import negative_sample
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 50) for i in range(50)], "src long, dst long"
+    )
+    out = negative_sample(LinkGraph(edges=edges), 20, random_seed=7)
+    assert "SinglePartition" not in _physical(out), _physical(out)
+    assert out.count() > 0
