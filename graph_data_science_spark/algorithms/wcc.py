@@ -177,7 +177,10 @@ def _large_star(pairs: DataFrame) -> DataFrame:
 
     For every node u: m(u) = min(Γ(u) ∪ {u}); every strictly-larger
     neighbor v re-attaches to m(u). Since m(u) ≤ u < v the output pairs
-    are canonical by construction.
+    are canonical by construction. Duplicate pairs are NOT folded here —
+    the following small-star round is duplicate-safe (min-agg + join) and
+    ends with the round's one ``distinct()``; dropping the intermediate
+    fold saves a full shuffle per round.
     """
     nbrs = pairs.select(F.col("s").alias("u"), F.col("b").alias("v")).union(
         pairs.select(F.col("b").alias("u"), F.col("s").alias("v"))
@@ -189,7 +192,6 @@ def _large_star(pairs: DataFrame) -> DataFrame:
         .filter(F.col("v") > F.col("u"))
         .select(F.col("m").alias("s"), F.col("v").alias("b"))
         .filter(F.col("s") != F.col("b"))
-        .distinct()
     )
 
 
@@ -229,8 +231,11 @@ def wcc_star(
     component roots is AQE's skew-join case — inherent to the star shape,
     same as union-find root contention in the reference. Convergence is
     detected EXACTLY: a round pair that leaves the canonical edge set
-    unchanged is the paper's fixpoint (both anti-join counts zero), never
-    a heuristic label check.
+    unchanged is the paper's fixpoint, never a heuristic label check — and
+    the check rides the commit action itself (an ``observe`` over the
+    full-outer join of old vs new pairs, placed BEFORE the keep-new
+    filter), so each round is exactly ONE Spark action instead of the
+    previous commit + two anti-join counts.
 
     ``seeds`` are not supported here — seed labels are not node ids, which
     star contraction requires; use ``wcc(seeds=...)``.
@@ -247,9 +252,9 @@ def wcc_star(
         .repartition(par, "b")
     )
 
-    # auto_free_prev=False: the convergence anti-join still reads the
-    # PREVIOUS round's committed frame after the new commit; it is freed
-    # manually below once the comparison is done.
+    # auto_free_prev=False: the convergence full-outer join reads the
+    # PREVIOUS round's committed frame during the new commit; it is freed
+    # manually below once the round completes.
     loop = SuperstepLoop(
         spark,
         "wcc_star",
@@ -271,11 +276,22 @@ def wcc_star(
     it = start - 1
     for it in range(start, max_iterations + 1):
         stepped = _small_star(_large_star(pairs))
-        stepped = loop.commit(stepped, it, {})
-        changed = (
-            pairs.join(stepped, ["s", "b"], "left_anti").count()
-            + stepped.join(pairs, ["s", "b"], "left_anti").count()
+        # One action per round: full-outer old-vs-new with the symmetric
+        # difference observed before filtering back down to the new set.
+        j = pairs.withColumn("_old", F.lit(1)).join(
+            stepped.withColumn("_new", F.lit(1)), ["s", "b"], "full_outer"
         )
+        obs = Observation()
+        j = j.observe(
+            obs,
+            F.sum(
+                F.when(F.col("_old").isNull() | F.col("_new").isNull(), 1).otherwise(0)
+            ).alias("changed"),
+        )
+        stepped = loop.commit(
+            j.filter(F.col("_new").isNotNull()).select("s", "b"), it, observation=obs
+        )
+        changed = obs.get.get("changed") or 0
         free_checkpointed(pairs)
         pairs = stepped
         if changed == 0:

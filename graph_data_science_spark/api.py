@@ -50,8 +50,14 @@ def _eigenvector(graph: LinkGraph, **cfg) -> DataFrame:
 
 
 def _wcc(graph: LinkGraph, **cfg) -> DataFrame:
-    from graph_data_science_spark.algorithms.wcc import wcc
+    from graph_data_science_spark.algorithms.wcc import wcc, wcc_star
 
+    # Star contraction is the default path (r4 A/B on the bench graph:
+    # 6 contraction rounds vs 17 label-prop rounds, faster wall — see
+    # BASELINE.md); min-label propagation handles the options star
+    # contraction can't express (seeds, hot-source salting).
+    if set(cfg) <= {"threshold", "max_iterations", "checkpoint_dir"}:
+        return wcc_star(graph, **cfg).components.withColumnRenamed("component", "score")
     return wcc(graph, **cfg).components.withColumnRenamed("component", "score")
 
 

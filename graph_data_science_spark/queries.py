@@ -302,9 +302,15 @@ Q_DEGREE_SQL = """
 
 
 def q_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Engine WCC over per-customer order chains → component = min orderkey."""
+    """Engine WCC over per-customer order chains → component = min orderkey.
+
+    Runs the procedure default path: star contraction (r4 A/B winner on
+    this graph — 6 rounds vs label-prop's 17; the chain mins sit at
+    random chain positions, so min-label propagation moves them ~1 hop
+    per round while contraction collapses chains logarithmically). The
+    label-prop path stays bench+oracle-covered via wcc_seeded_chains."""
     g = _order_chain_graph(spark, sf_dir)
-    return wcc(g).components.select("node_id", "component")
+    return wcc_star(g).components.select("node_id", "component")
 
 
 Q_WCC_SQL = """
