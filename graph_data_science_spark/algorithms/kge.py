@@ -34,10 +34,13 @@ fixed tiebreak is the portable strengthening of its contract).
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+log = logging.getLogger("spark_link_graph.kge")
 
 
 @dataclass
@@ -73,7 +76,8 @@ def kge_predict(
     source_filter=None,
     target_filter=None,
     existing_edges: DataFrame | None = None,
-    broadcast_sources: bool = True,
+    broadcast_sources: bool | None = None,
+    broadcast_row_limit: int = 1_000_000,
 ) -> KgePredictResult:
     """Score candidate (source, target) links with a trained KGE model.
 
@@ -83,6 +87,13 @@ def kge_predict(
     are not candidates, matching ``isCandidateLink``.
     ``score_function``: 'transe' (lower = better) or 'distmult'
     (higher = better) — the reference's ``higherIsBetter`` rule.
+
+    ``broadcast_sources=None`` (default) counts the filtered source side
+    and broadcasts it only when it has ≤ ``broadcast_row_limit`` rows —
+    the documented "few query heads vs the node table" shape. A caller
+    passing a large source set degrades to a shuffled cross join instead
+    of broadcast-OOMing the driver. True/False force the choice (True
+    skips the count; the caller asserts smallness).
     """
     sf = score_function.lower()
     if sf not in ("transe", "distmult"):
@@ -103,6 +114,15 @@ def kge_predict(
         F.col("node_id").alias("source"),
         F.zip_with(F.col("vec"), rel, combine).alias("hr"),
     )
+    if broadcast_sources is None:
+        n_src = src.count()
+        broadcast_sources = n_src <= int(broadcast_row_limit)
+        if not broadcast_sources:
+            log.info(
+                "kge_predict: source side has %d rows (> %d) — skipping the "
+                "source broadcast; the pair join shuffles instead",
+                n_src, int(broadcast_row_limit),
+            )
     if broadcast_sources:
         src = F.broadcast(src)
     tgt = tgt.select(F.col("node_id").alias("target"), F.col("vec").alias("tvec"))

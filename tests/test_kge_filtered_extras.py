@@ -213,3 +213,43 @@ def test_all_shortest_paths_unweighted_all_sources(spark):
     assert got == sorted(
         [(0, 0, 0.0), (0, 1, 1.0), (0, 2, 2.0), (1, 1, 0.0), (1, 2, 1.0), (2, 2, 0.0)]
     )
+
+
+def test_kge_large_source_skips_broadcast(spark):
+    """r4 safe-default: source side above broadcast_row_limit must not be
+    broadcast (no BroadcastExchange feeding the pair join) and the predict
+    must still complete with correct top-k semantics."""
+    from pyspark.sql import functions as F
+
+    from graph_data_science_spark.algorithms.kge import kge_predict
+
+    emb = spark.range(300).select(
+        F.col("id").alias("node_id"),
+        F.array(
+            (F.col("id") % 7).cast("double"),
+            (F.col("id") % 5).cast("double"),
+            (F.col("id") % 3).cast("double"),
+        ).alias("embedding"),
+    )
+    # Disable planner auto-broadcast so the assertion isolates OUR hint:
+    # with the guard active and no forced hint, the plan must contain no
+    # BroadcastExchange at all (Catalyst is free to re-add one from size
+    # stats in normal operation — that is its call, not a forced OOM).
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        res = kge_predict(
+            emb, [0.1, 0.2, 0.3], score_function="transe", top_k=3,
+            broadcast_row_limit=10,  # force the large-source path
+        )
+        plan = res.predictions._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan.split("== Initial Plan ==")[0], plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    rows = res.predictions.groupBy("source").count().agg(F.max("count")).collect()[0][0]
+    assert rows == 3
+    # forced broadcast still works and matches
+    res_b = kge_predict(
+        emb, [0.1, 0.2, 0.3], score_function="transe", top_k=3, broadcast_sources=True
+    )
+    assert res.predictions.exceptAll(res_b.predictions).count() == 0
