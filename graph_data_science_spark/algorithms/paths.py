@@ -136,6 +136,126 @@ def shortest_paths(
     )
 
 
+def delta_stepping(
+    graph: LinkGraph,
+    source: int,
+    delta: float = 2.0,
+    weighted: bool = True,
+    max_iterations: int | None = None,
+    checkpoint_dir: str | None = None,
+    num_blocks: int | None = None,
+    hot_degree_threshold: int = 2_000_000,
+) -> PathResult:
+    """Single-source shortest distances with REAL delta-stepping bucket
+    discipline (reference ``paths/delta/DeltaStepping.java:52-164``,
+    Meyer & Sanders Δ-stepping as GDS implements it: no light/heavy edge
+    split — each RELAX phase relaxes every out-edge of the nodes in the
+    current bin, then the sync barrier picks the globally smallest
+    non-empty bin, default ``delta`` 2.0 per
+    ``AllShortestPathsDeltaBaseConfig``).
+
+    BSP expression: state is (node, dist, pending) where pending marks
+    nodes improved since they were last relaxed (= sitting in some bin).
+    Each round processes ``bin = min ⌊dist/Δ⌋ over pending`` — the
+    frontier is pending ∩ that bin; its out-edges relax in one join +
+    min-aggregate; the merge settles the frontier (pending←false) unless
+    re-improved, marks improved nodes pending, and the NEXT round's bin
+    and the improved count both ride the commit action as Observation
+    aggregates. A relaxation from bin i can never produce a distance
+    below i·Δ (weights ≥ 0), so processing the minimum bin to exhaustion
+    before moving on reproduces the reference's processing order exactly;
+    termination = no pending nodes.
+
+    vs plain frontier Bellman-Ford (``shortest_paths``): identical
+    results (both converge to the true distances); the bucket discipline
+    bounds the number of times a high-diameter weighted graph re-relaxes
+    long-range edges — a node is only processed once its distance is
+    within Δ of final (bins below the current one are settled), where
+    eager relaxation may cascade corrections. The A/B on the bench
+    fixtures is recorded in SURVEY §2.B; weights must be ≥ 0 (the
+    reference shares this precondition; negative weights route to
+    ``shortest_paths``'s Bellman-Ford cycle detection).
+    """
+    if delta <= 0:
+        raise ValueError("delta must be > 0")
+    spark = graph.edges.sparkSession
+    n = graph.with_node_count()
+    if max_iterations is None:
+        max_iterations = 4 * (n + 1)
+    e = graph.edges if weighted else graph.edges.select("src", "dst", F.lit(1.0).alias("weight"))
+    prepped, _hot = prep_edges_sql_skew(
+        e.select("src", "dst", F.col("weight").alias("norm_w")),
+        num_blocks,
+        hot_degree_threshold,
+    )
+
+    loop = SuperstepLoop(
+        spark,
+        "delta_stepping",
+        checkpoint_dir,
+        lineage=edge_lineage(
+            graph.edges,
+            params={"algo": "delta", "source": source, "delta": delta, "weighted": weighted},
+            content_sample=checkpoint_dir is not None,
+        ),
+    )
+    loop.predict(node_count=n, state_row_bytes=33)  # (node, dist, pending)
+    dist = spark.createDataFrame([(int(source), 0.0, True)], "node long, dist double, pending boolean")
+    dist = loop.commit(dist, 0, {"frontier": 1})
+    current_bin = 0
+
+    converged = False
+    it = 0
+    for it in range(1, max_iterations + 1):
+        bin_col = F.floor(F.col("dist") / F.lit(float(delta)))
+        frontier = dist.filter(F.col("pending") & (bin_col == F.lit(int(current_bin)))).select(
+            "node", "dist"
+        )
+        cand = (
+            salted_gather_join(prepped, _hot, frontier)
+            .groupBy("dst")
+            .agg(F.min(F.col("dist") + F.col("norm_w")).alias("cand"))
+        )
+        in_frontier = F.col("pending") & (bin_col == F.lit(int(current_bin)))
+        merged = (
+            dist.join(cand, dist["node"] == cand["dst"], "full_outer")
+            .select(
+                F.coalesce(F.col("node"), F.col("dst")).alias("node"),
+                F.least(F.col("dist"), F.col("cand")).alias("dist"),
+                F.when(
+                    F.col("dist").isNull()
+                    | (F.col("cand").isNotNull() & (F.col("cand") < F.col("dist"))),
+                    F.lit(True),  # newly reached or improved → (re)enter its bin
+                )
+                .when(in_frontier, F.lit(False))  # relaxed this round, not improved → settled
+                .otherwise(F.coalesce(F.col("pending"), F.lit(False)))
+                .alias("pending"),
+            )
+        )
+        obs = Observation()
+        merged = merged.observe(
+            obs,
+            F.min(
+                F.when(F.col("pending"), F.floor(F.col("dist") / F.lit(float(delta))))
+            ).alias("next_bin"),
+        )
+        dist = loop.commit(merged, it, {}, observation=obs)
+        next_bin = obs.get.get("next_bin")
+        if next_bin is None:
+            converged = True
+            break
+        current_bin = int(next_bin)
+
+    prepped.unpersist()
+    return PathResult(
+        distances=dist.select(F.col("node").alias("node_id"), F.col("dist").alias("distance")),
+        ran_iterations=it,
+        did_converge=converged,
+        negative_cycle=False,
+        loop=loop,
+    )
+
+
 @dataclass
 class AllShortestPathsResult:
     distances: DataFrame  # (source_node long, target_node long, distance double)

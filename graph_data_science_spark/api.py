@@ -238,9 +238,12 @@ def _dijkstra(graph: LinkGraph, **cfg) -> DataFrame:
 
 
 def _delta_stepping(graph: LinkGraph, **cfg) -> DataFrame:
-    from graph_data_science_spark.algorithms.paths import shortest_paths
+    # Real bucketed delta-stepping (r4; previously an alias to the generic
+    # frontier relaxation — results were already identical, now the bin
+    # discipline of DeltaStepping.java:52 is implemented too).
+    from graph_data_science_spark.algorithms.paths import delta_stepping
 
-    return shortest_paths(graph, **cfg).distances.select(
+    return delta_stepping(graph, **cfg).distances.select(
         "node_id", F.col("distance").alias("score")
     )
 

@@ -754,6 +754,7 @@ def _merge_ext() -> None:
         queries_ext19,
         queries_ext20,
         queries_ext21,
+        queries_ext22,
     )
 
     for mod, qname, oname in (
@@ -778,6 +779,7 @@ def _merge_ext() -> None:
         (queries_ext19, "QUERIES_EXT19", "ORACLES_EXT19"),
         (queries_ext20, "QUERIES_EXT20", "ORACLES_EXT20"),
         (queries_ext21, "QUERIES_EXT21", "ORACLES_EXT21"),
+        (queries_ext22, "QUERIES_EXT22", "ORACLES_EXT22"),
     ):
         # When an ext module is imported FIRST (tools/tests), it imports this
         # module, whose end-of-module merge then sees the ext module only
