@@ -102,20 +102,52 @@ def aucpr(
     probability_col: str = "probability",
     label_col: str = "label",
     negative_class_weight: float = 1.0,
+    max_thresholds: int | None = None,
 ) -> float:
     """Area under the precision-recall curve (``LinkMetric.AUCPR:40-95``):
     sweep thresholds descending over DISTINCT scores (ties enter the curve
     together, as the reference's signed-probability walk), precision =
     TP / (TP + w·FP), recall = TP / P, close the curve at (0, 1), integrate
-    trapezoids. Returns 0 when there are no positives, per the reference."""
+    trapezoids. Returns 0 when there are no positives, per the reference.
+
+    ``max_thresholds``: the curve windows sweep DISTINCT scores, which for
+    continuous scores is O(N) rows through one task. Setting this caps the
+    sweep by equi-width-quantizing scores into at most that many value
+    buckets first (each bucket keyed by its maximum member score) — the
+    resulting curve is the exact curve sampled at the bucket boundaries,
+    the standard large-scale approximation. ``None`` preserves the
+    reference's exact distinct-score semantics."""
     lbl = F.col(label_col).cast("double")
+    prob = F.col(probability_col).cast("double")
+    if max_thresholds is not None:
+        bounds = df.agg(F.min(prob).alias("lo"), F.max(prob).alias("hi")).collect()[0]
+        lo, hi = bounds["lo"], bounds["hi"]
+        if lo is not None and hi is not None and lo < hi:
+            bucket = F.least(
+                F.width_bucket(prob, F.lit(float(lo)), F.lit(float(hi)), F.lit(int(max_thresholds))),
+                F.lit(int(max_thresholds)),
+            )
+            agg = (
+                df.groupBy(bucket.alias("_b"))
+                .agg(
+                    F.max(prob).alias("thr"),
+                    F.sum((lbl > 0).cast("long")).alias("pos"),
+                    F.sum((lbl <= 0).cast("long")).alias("neg"),
+                )
+                .drop("_b")
+            )
+            return _aucpr_from_curve(df, agg, lbl, negative_class_weight)
     agg = (
-        df.groupBy(F.col(probability_col).alias("thr"))
+        df.groupBy(prob.alias("thr"))
         .agg(
             F.sum((lbl > 0).cast("long")).alias("pos"),
             F.sum((lbl <= 0).cast("long")).alias("neg"),
         )
     )
+    return _aucpr_from_curve(df, agg, lbl, negative_class_weight)
+
+
+def _aucpr_from_curve(df, agg, lbl, negative_class_weight):
     w = Window.orderBy(F.desc("thr"))
     curve = agg.select(
         "thr",
