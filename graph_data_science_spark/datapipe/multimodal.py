@@ -5,14 +5,18 @@ with typed metadata; decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` stages so payload bytes never round-trip
 through per-row Python.
 
-The actual codec step is STUBBED in this environment (no image/audio
-libraries in the container): ``decode_images(..., codec="fake")`` produces a
+The actual codec step is import-gated: ``codec="fake"`` produces a
 deterministic fake decode so the Spark-side plumbing — schema, batch shape,
-partition sizing — is real and testable; ``codec="pil"`` raises
-NotImplementedError until a codec library is present. At 100 TB the knobs
-that matter are ``spark.sql.execution.arrow.maxRecordsPerBatch`` (bounds
-decoded-batch memory) and pre-partitioning by size class so one giant video
-doesn't skew a task.
+partition sizing — is real and testable anywhere; ``codec="pil"`` decodes
+real image bytes through Pillow WHEN it is importable on the executors and
+raises NotImplementedError otherwise (this container ships no codec
+libraries — the PIL path is exercised by a skip-marked test). The PIL calls
+are necessarily per-image (the codec is a C library call); the batch
+marshalling around them stays Arrow, and the fake path stays fully
+vectorized. At 100 TB the knobs that matter are
+``spark.sql.execution.arrow.maxRecordsPerBatch`` (bounds decoded-batch
+memory) and pre-partitioning by size class so one giant video doesn't skew
+a task.
 """
 
 from __future__ import annotations
@@ -49,15 +53,102 @@ def synthesize_assets(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     )
 
 
+def _require_pil():
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - environment-dependent
+        raise NotImplementedError(
+            "codec 'pil' requires Pillow, which is not installed in this "
+            "environment; use codec='fake' for the stubbed decode"
+        ) from exc
+
+
+def _pil_decode_fn(feat_dim: int):
+    """mapInPandas kernel: Pillow decode per image (the codec call is
+    inherently per-image C work), NumPy for the feature math."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        for pdf in batches:
+            feats, oks = [], []
+            for payload in pdf["payload"]:
+                try:
+                    with Image.open(io.BytesIO(payload)) as im:
+                        arr = np.asarray(im.convert("RGB"), dtype=np.float32) / 255.0
+                    stats = np.concatenate(
+                        [arr.mean(axis=(0, 1)), arr.std(axis=(0, 1))]
+                    )
+                    vec = np.zeros(feat_dim, dtype=np.float32)
+                    vec[: min(feat_dim, stats.size)] = stats[:feat_dim]
+                    feats.append(vec)
+                    oks.append(True)
+                except Exception:
+                    feats.append(np.zeros(feat_dim, dtype=np.float32))
+                    oks.append(False)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "kind": pdf["kind"],
+                    "feat": feats,
+                    "decode_ok": oks,
+                }
+            )
+
+    return decode
+
+
+def _pil_resize_fn(tw: int, th: int):
+    """mapInPandas kernel: Pillow decode + true resample to (th, tw),
+    grayscale float32 in [0, 1]; failed decodes yield all-zero pixels."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        for pdf in batches:
+            pixels = []
+            for payload in pdf["payload"]:
+                try:
+                    with Image.open(io.BytesIO(payload)) as im:
+                        small = im.convert("L").resize((tw, th), Image.NEAREST)
+                    pixels.append(
+                        (np.asarray(small, dtype=np.float32) / 255.0).reshape(-1)
+                    )
+                except Exception:
+                    pixels.append(np.zeros(tw * th, dtype=np.float32))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": np.full(len(pdf), tw, dtype=np.int32),
+                    "height": np.full(len(pdf), th, dtype=np.int32),
+                    "pixels": pixels,
+                }
+            )
+
+    return resize
+
+
 def decode_images(assets: DataFrame, codec: str = "fake", feat_dim: int = 8) -> DataFrame:
     """Arrow-batched decode/feature-extract over the payload column.
 
     ``fake``: deterministic features folded from the payload bytes with
     whole-batch NumPy (real plumbing, stub math — no per-row Python
-    arithmetic). Any other codec raises NotImplementedError — the container
-    ships no image/audio libraries; plug PIL/torchvision here.
+    arithmetic). ``pil``: real image decode via Pillow when importable —
+    features are the per-channel mean/std of the decoded RGB image padded
+    to ``feat_dim`` (decode failures → decode_ok False, zero features).
+    Any other codec (or ``pil`` without Pillow installed) raises
+    NotImplementedError.
     """
     assert 64 % feat_dim == 0, "feat_dim must divide the 64-byte prefix window"
+    if codec == "pil":
+        _require_pil()
+        return assets.mapInPandas(_pil_decode_fn(feat_dim), DECODED_SCHEMA)
     if codec != "fake":
         raise NotImplementedError(
             f"codec {codec!r} requires image/audio libraries not present in this environment"
@@ -126,13 +217,17 @@ def resize_images(
     PIL/torchvision decode would feed; only the pixel source is stubbed
     (``fake``: the payload byte matrix tiled to each asset's declared
     (height, width), since the container ships no codec libraries).
-    Output pixels are row-major float32 in [0, 1].
+    Output pixels are row-major float32 in [0, 1]. ``codec="pil"`` decodes
+    real image bytes and resamples through Pillow when importable.
     """
+    tw, th = int(target_w), int(target_h)
+    if codec == "pil":
+        _require_pil()
+        return assets.mapInPandas(_pil_resize_fn(tw, th), RESIZED_SCHEMA)
     if codec != "fake":
         raise NotImplementedError(
             f"codec {codec!r} requires image libraries not present in this environment"
         )
-    tw, th = int(target_w), int(target_h)
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
