@@ -944,6 +944,14 @@ class Procedures:
             "modelCount": self.models.model_count(),
         }
 
+    def estimate_datapipe(self, op: str, row_count: int, **config) -> dict[str, Any]:
+        """Estimate mode for the corpus-scale datapipe operators (dedup,
+        ANN, packing) — same output shape as ``estimate()``, driven by
+        corpus row count instead of |V|/|E| (``datapipe/estimate.py``)."""
+        from graph_data_science_spark.datapipe.estimate import estimate_datapipe
+
+        return estimate_datapipe(op, row_count, **config)
+
     def write(self, algo: str, graph_name: str, path: str, **config) -> dict[str, Any]:
         """Persist per-node results to the backing store (gds.<algo>.write;
         parquet here ≡ an Iceberg append on a cluster)."""
