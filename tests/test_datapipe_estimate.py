@@ -41,9 +41,9 @@ def test_estimate_unknown_op_raises():
         estimate_datapipe("no_such_op", 100)
 
 
-def test_procedures_facade_exposes_datapipe_estimate(spark):
-    from graph_data_science_spark.api import Procedures
+def test_procedures_facade_exposes_datapipe_estimate(spark, tmp_path):
+    from graph_data_science_spark.api import GraphCatalog, Procedures
 
-    p = Procedures(spark)
+    p = Procedures(GraphCatalog(spark, str(tmp_path / "cat")))
     r = p.estimate_datapipe("pack_sequences", 5_000_000)
     assert r["operator"] == "pack_sequences" and r["bytesMax"] > 0
