@@ -343,9 +343,13 @@ class SuperstepLoop:
 
 
 _ROUNDTRIP_BASE: str | None = None
+_ROUNDTRIP_FALLBACK: str | None = None
 _ROUNDTRIP_SEQ = 0
-# seq -> (tag, path) of every live round-trip file, in creation order.
-_ROUNDTRIP_ENTRIES: dict[int, tuple[str, str]] = {}
+# seq -> (tag, path, bytes) of every live round-trip file, in creation order.
+_ROUNDTRIP_ENTRIES: dict[int, tuple[str, str, int]] = {}
+_ROUNDTRIP_LIVE_BYTES = 0
+_ROUNDTRIP_BUDGET: int | None = None
+_ROUNDTRIP_SPILLED = False
 
 
 def _roundtrip_atexit() -> None:
@@ -353,14 +357,48 @@ def _roundtrip_atexit() -> None:
 
     if _ROUNDTRIP_BASE is not None:
         shutil.rmtree(_ROUNDTRIP_BASE, ignore_errors=True)
+    if _ROUNDTRIP_FALLBACK is not None:
+        shutil.rmtree(_ROUNDTRIP_FALLBACK, ignore_errors=True)
 
 
 def _free_roundtrip_entry(seq: int) -> None:
     import shutil
 
+    global _ROUNDTRIP_LIVE_BYTES
     entry = _ROUNDTRIP_ENTRIES.pop(seq, None)
     if entry is not None:
+        _ROUNDTRIP_LIVE_BYTES -= entry[2]
         shutil.rmtree(entry[1], ignore_errors=True)
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def _roundtrip_budget() -> int:
+    """Byte budget for round-trip files on the tmpfs base. Default: half
+    of /dev/shm's free space at first use (a shared-device citizen —
+    shuffle and executor local dirs live there too); override with
+    ``SPARK_GRAFT_RT_BUDGET_MB``. Exceeding the budget routes NEW files
+    to a disk fallback dir instead of aborting or evicting live state."""
+    global _ROUNDTRIP_BUDGET
+    env = os.environ.get("SPARK_GRAFT_RT_BUDGET_MB")
+    if env is not None:
+        return int(float(env) * 1e6)
+    if _ROUNDTRIP_BUDGET is None:
+        try:
+            st = os.statvfs("/dev/shm")
+            _ROUNDTRIP_BUDGET = (st.f_bavail * st.f_frsize) // 2
+        except OSError:
+            _ROUNDTRIP_BUDGET = 8 * 10**9
+    return _ROUNDTRIP_BUDGET
 
 
 def roundtrip_mark() -> int:
@@ -414,7 +452,8 @@ def materialize_roundtrip(df: DataFrame, tag: str = "state", keep_last: int | No
     (:func:`roundtrip_mark` / :func:`roundtrip_release`). Durable-loop
     callers use SuperstepLoop's checkpoint_dir, which has the same effect.
     """
-    global _ROUNDTRIP_BASE, _ROUNDTRIP_SEQ
+    global _ROUNDTRIP_BASE, _ROUNDTRIP_FALLBACK, _ROUNDTRIP_SEQ
+    global _ROUNDTRIP_LIVE_BYTES, _ROUNDTRIP_SPILLED
     if _ROUNDTRIP_BASE is None:
         import atexit
         import tempfile
@@ -422,12 +461,40 @@ def materialize_roundtrip(df: DataFrame, tag: str = "state", keep_last: int | No
         parent = "/dev/shm" if os.path.isdir("/dev/shm") else None
         _ROUNDTRIP_BASE = tempfile.mkdtemp(prefix="spark_graft_rt_", dir=parent)
         atexit.register(_roundtrip_atexit)
+    # Byte budget on the tmpfs base: once live round-trip bytes exceed it,
+    # NEW files land in a disk fallback (spark.local.dir / tempdir) so a
+    # caller holding many marks degrades to disk speed instead of filling
+    # /dev/shm out from under the shuffle.
+    base = _ROUNDTRIP_BASE
+    if _ROUNDTRIP_LIVE_BYTES > _roundtrip_budget():
+        if _ROUNDTRIP_FALLBACK is None:
+            import tempfile
+
+            local_dirs = df.sparkSession.conf.get("spark.local.dir", None)
+            parent = None
+            if local_dirs:
+                cand = local_dirs.split(",")[0]
+                if os.path.isdir(cand) and not cand.startswith("/dev/shm"):
+                    parent = cand
+            _ROUNDTRIP_FALLBACK = tempfile.mkdtemp(
+                prefix="spark_graft_rt_spill_", dir=parent
+            )
+        if not _ROUNDTRIP_SPILLED:
+            _ROUNDTRIP_SPILLED = True
+            logger.info(
+                "materialize_roundtrip: live round-trip bytes %d exceed the "
+                "tmpfs budget %d — new files spill to %s",
+                _ROUNDTRIP_LIVE_BYTES, _roundtrip_budget(), _ROUNDTRIP_FALLBACK,
+            )
+        base = _ROUNDTRIP_FALLBACK
     _ROUNDTRIP_SEQ += 1
-    path = os.path.join(_ROUNDTRIP_BASE, f"{tag}_{_ROUNDTRIP_SEQ:06d}")
+    path = os.path.join(base, f"{tag}_{_ROUNDTRIP_SEQ:06d}")
     df.write.mode("overwrite").parquet(path)
-    _ROUNDTRIP_ENTRIES[_ROUNDTRIP_SEQ] = (tag, path)
+    nbytes = _dir_bytes(path)
+    _ROUNDTRIP_ENTRIES[_ROUNDTRIP_SEQ] = (tag, path, nbytes)
+    _ROUNDTRIP_LIVE_BYTES += nbytes
     if keep_last is not None:
-        same_tag = [s for s, (t, _) in _ROUNDTRIP_ENTRIES.items() if t == tag]
+        same_tag = [s for s, (t, _p, _b) in _ROUNDTRIP_ENTRIES.items() if t == tag]
         for seq in sorted(same_tag)[:-keep_last]:
             _free_roundtrip_entry(seq)
     out = df.sparkSession.read.parquet(path)
