@@ -69,17 +69,55 @@ class TrainingPipeline:
 
     def configure_auto_tuning(self, max_trials: int = 10) -> "TrainingPipeline":
         """``.configureAutoTuning({maxTrials})`` (reference
-        ``AutoTuningConfig.java`` — caps how many parameter-space
-        candidates the cross-validation selection trials; default 10)."""
+        ``AutoTuningConfig.java``): caps how many RANDOM-SEARCH trials are
+        sampled from the tunable (range-valued) configs; default 10.
+        Concrete configs always trial, uncounted — the reference's
+        ``RandomSearch`` runs ``maxTrials + |concrete|`` total."""
         if max_trials < 1:
             raise ValueError("max_trials must be >= 1")
         self.max_trials = int(max_trials)
         return self
 
-    def _candidates(self) -> list[dict]:
-        """Parameter-space candidates the selection actually trials,
-        capped at ``max_trials`` in insertion order."""
-        return [dict(c) for c in self.parameter_space[: self.max_trials]]
+    # params sampled on a log scale, per TunableTrainerConfig.java:49
+    # (both the reference's camelCase spelling and our snake_case)
+    _LOG_SCALE = {"penalty", "learningRate", "learning_rate", "tolerance"}
+
+    def _candidates(self, seed: int = 42) -> list[dict]:
+        """The reference's ``RandomSearch.java`` analog: a trainer config
+        value of ``{"range": [min, max]}`` marks the config tunable —
+        concrete configs trial first (all of them), then up to
+        ``max_trials`` sampled trials, each picking a tunable config
+        uniformly and sampling every ranged param (int ranges uniform in
+        [min, max); double ranges uniform, log-scale for
+        penalty/learningRate/tolerance — ``RandomSearch.sampleDouble``).
+        Deterministic in ``seed``."""
+        import math
+        import random as _random
+
+        def is_range(v):
+            return isinstance(v, dict) and set(v) == {"range"}
+
+        concrete = [dict(c) for c in self.parameter_space if not any(is_range(v) for v in c.values())]
+        tunable = [c for c in self.parameter_space if any(is_range(v) for v in c.values())]
+        if not tunable:
+            return concrete
+        rng = _random.Random(int(seed))
+        out = concrete
+        for _ in range(self.max_trials):
+            cfg = dict(tunable[rng.randrange(len(tunable))])
+            for k, v in list(cfg.items()):
+                if not is_range(v):
+                    continue
+                lo, hi = v["range"]
+                if isinstance(lo, int) and isinstance(hi, int):
+                    cfg[k] = rng.randrange(lo, hi)
+                elif k in self._LOG_SCALE:
+                    lo_l = math.log(max(float(lo), 1e-20))
+                    cfg[k] = math.exp(lo_l + rng.random() * (math.log(float(hi)) - lo_l))
+                else:
+                    cfg[k] = float(lo) + rng.random() * (float(hi) - float(lo))
+            out.append(cfg)
+        return out
 
     def _add_trainer(self, method_key: str, **config) -> "TrainingPipeline":
         self.parameter_space.append({"method": _METHOD_BUILDERS[method_key], **config})
@@ -183,7 +221,7 @@ class NodeClassificationPipeline(TrainingPipeline):
             feats.select("node_id", "features", "label"),
             test_fraction=self.split_config["test_fraction"],
             validation_folds=self.split_config["validation_folds"],
-            model_candidates=self._candidates(),
+            model_candidates=self._candidates(seed),
             seed=seed,
         )
 
@@ -210,7 +248,7 @@ class NodeRegressionPipeline(NodeClassificationPipeline):
             feats.select("node_id", "features", "target"),
             test_fraction=self.split_config["test_fraction"],
             validation_folds=self.split_config["validation_folds"],
-            model_candidates=self._candidates(),
+            model_candidates=self._candidates(seed),
             seed=seed,
         )
 
@@ -270,7 +308,7 @@ class LinkPredictionPipeline(TrainingPipeline):
             negative_sampling_ratio=self.split_config["negative_sampling_ratio"],
             test_fraction=self.split_config["test_fraction"],
             validation_folds=self.split_config["validation_folds"],
-            model_candidates=self._candidates(),
+            model_candidates=self._candidates(seed),
             seed=seed,
         )
 

@@ -43,12 +43,27 @@ def _split_flag(key_cols: list, test_fraction: float, seed: int):
     return h < int(test_fraction * 1_000_000)
 
 
+# Reference hyperparameter spellings → the trainers' own (GDS configs use
+# camelCase and call L2 regularization "penalty": TunableTrainerConfig /
+# LogisticRegressionTrainConfig.java).
+_PARAM_ALIASES = {
+    "penalty": "l2",
+    "learningRate": "learning_rate",
+    "maxEpochs": "max_epochs",
+    "maxDepth": "max_depth",
+    "numberOfDecisionTrees": "num_trees",
+    "hiddenLayerSizes": "hidden_sizes",
+}
+
+
 def _fit_model(train: DataFrame, label_col: str, feature_col: str, cand: dict, seed: int):
     """Train one candidate config; returns (model, predict_fn) where
     predict_fn(df) adds ``predicted`` (long) + ``probability`` (double of
     the argmax class) regardless of the model family's native shape."""
     method = cand.get("method", "LogisticRegression")
-    params = {k: v for k, v in cand.items() if k != "method"}
+    params = {
+        _PARAM_ALIASES.get(k, k): v for k, v in cand.items() if k != "method"
+    }
     if method == "LogisticRegression":
         m = train_logistic_regression(train, label_col, feature_col, **params)
         return m, lambda df: m.predict(df, feature_col)
@@ -344,7 +359,9 @@ class NodeRegressionResult:
 
 def _fit_regressor(train: DataFrame, target_col: str, feature_col: str, cand: dict, seed: int):
     method = cand.get("method", "LinearRegression")
-    params = {k: v for k, v in cand.items() if k != "method"}
+    params = {
+        _PARAM_ALIASES.get(k, k): v for k, v in cand.items() if k != "method"
+    }
     if method == "LinearRegression":
         from graph_data_science_spark.ml.linreg import train_linear_regression
 

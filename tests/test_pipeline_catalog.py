@@ -162,3 +162,65 @@ def test_facade_exposes_pipeline_catalog(spark, tmp_path):
     procs.pipelines.create("nodeClassification", "p")
     assert procs.pipelines.exists("p")
     assert procs.pipelines.list()[0]["pipelineName"] == "p"
+
+
+def test_auto_tuning_random_search_candidates():
+    """RandomSearch analog (reference ml/ml-algo/.../automl/RandomSearch.java):
+    concrete configs all trial; ranged configs get max_trials samples with
+    int-range / uniform / log-scale semantics, deterministic in seed."""
+    from graph_data_science_spark.ml.pipeline_catalog import NodeClassificationPipeline
+
+    p = NodeClassificationPipeline("tuned")
+    p.add_logistic_regression(penalty=0.5)  # concrete
+    p.add_logistic_regression(penalty={"range": [1e-4, 1e2]})  # log-scale double
+    p.add_random_forest(max_depth={"range": [2, 10]})  # int range
+    p.configure_auto_tuning(max_trials=7)
+    cands = p._candidates(seed=13)
+    assert len(cands) == 1 + 7  # concrete + maxTrials sampled
+    assert cands[0] == {"method": "LogisticRegression", "penalty": 0.5}
+    for c in cands[1:]:
+        if c["method"] == "LogisticRegression":
+            assert 1e-4 <= c["penalty"] <= 1e2 and isinstance(c["penalty"], float)
+        else:
+            assert c["max_depth"] in range(2, 10) and isinstance(c["max_depth"], int)
+    assert cands == p._candidates(seed=13)  # deterministic
+    assert cands != p._candidates(seed=14)  # seed moves the samples
+    # both tunable methods get picked across trials
+    assert len({c["method"] for c in cands[1:]}) == 2
+
+
+def test_auto_tuning_no_ranges_is_concrete_passthrough():
+    from graph_data_science_spark.ml.pipeline_catalog import NodeClassificationPipeline
+
+    p = NodeClassificationPipeline("plain")
+    for pen in (0.1, 0.2, 0.3):
+        p.add_logistic_regression(penalty=pen)
+    p.configure_auto_tuning(max_trials=2)
+    # no tunable configs -> all concrete configs trial (maxTrials counts
+    # only the random-search trials, per the reference)
+    assert [c["penalty"] for c in p._candidates()] == [0.1, 0.2, 0.3]
+
+
+def test_auto_tuning_end_to_end_train(spark):
+    """A ranged penalty must flow through CV selection and train a model."""
+    from pyspark.sql import functions as F
+
+    from graph_data_science_spark.graph.build import LinkGraph
+    from graph_data_science_spark.ml.pipeline_catalog import PipelineCatalog
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 40, 1.0) for i in range(40)], "src long, dst long, weight double"
+    )
+    g = LinkGraph(edges=edges)
+    labels = spark.range(40).select(
+        F.col("id").alias("node_id"), (F.col("id") % 2).cast("int").alias("label")
+    )
+    cat = PipelineCatalog()
+    p = cat.create("nodeClassification", "tuned-e2e")
+    p.add_node_property("degree", "deg")
+    p.select_features(["deg"])
+    p.add_logistic_regression(penalty={"range": [1e-3, 1.0]})
+    p.configure_auto_tuning(max_trials=2)
+    p.configure_split(test_fraction=0.3, validation_folds=2)
+    res = p.train(g, labels, seed=7)
+    assert res is not None and res.predictions.count() > 0

@@ -38,10 +38,13 @@ def canon(rows, cols):
     return sorted(out, key=repr)
 
 
-def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark(app_name="oracle-check", master="local[16]", shuffle_partitions=16)
+def run(sf_dir: str, only=None, spark=None) -> list:
+    """Run the gate replica; returns the list of failing query names.
+    ``spark=None`` builds the tool's own session (and stops it)."""
+    only = set(only or ())
+    own_spark = spark is None
+    if own_spark:
+        spark = get_spark(app_name="oracle-check", master="local[16]", shuffle_partitions=16)
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -91,8 +94,15 @@ def main():
                 diff1 = list(sa - sb)[:3]
                 diff2 = list(sb - sa)[:3]
                 print(f"   spark-only: {diff1}\n   duck-only:  {diff2}")
-    spark.stop()
+    if own_spark:
+        spark.stop()
     print("FAILURES:", failures or "none")
+    return failures
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    failures = run(sf_dir, only=sys.argv[2:])
     sys.exit(1 if failures else 0)
 
 
