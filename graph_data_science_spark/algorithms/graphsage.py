@@ -219,6 +219,7 @@ def graphsage_train(
     negative_sample_weight: int = 20,
     penalty_l2: float = 0.0,
     random_seed: int = 42,
+    feature_dim: int | None = None,
 ) -> GraphSageTrainResult:
     """Unsupervised GraphSage training (reference
     ``GraphSageModelTrainer.java:62``; loss ``GraphSageLoss.java:35``;
@@ -263,8 +264,14 @@ def graphsage_train(
     seed = int(random_seed)
     Q = float(negative_sample_weight)
 
-    feat_dim = len(
-        features.select(F.col("features").cast("array<double>").alias("f")).first()["f"]
+    # feature_dim=None probes the first row (one extra tiny job); callers
+    # that know the width pass it, mirroring datapipe/ann.py's explicit dim
+    feat_dim = (
+        int(feature_dim)
+        if feature_dim is not None
+        else len(
+            features.select(F.col("features").cast("array<double>").alias("f")).first()["f"]
+        )
     )
     h0 = features.select(
         F.col("node_id").cast("long").alias("node_id"),

@@ -103,8 +103,10 @@ def train_linear_regression(
     max_epochs: int = 100,
     learning_rate: float = 0.1,
     tolerance: float = 1e-9,
+    dim: int | None = None,
 ) -> LinearRegressionModel:
-    dim = len(df.select(feature_col).first()[0])
+    if dim is None:
+        dim = len(df.select(feature_col).first()[0])
     if solver == "normal":
         g, xy, _, syy, n = _gram_stats(df, feature_col, label_col, dim)
         if n == 0:

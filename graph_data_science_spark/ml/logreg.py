@@ -143,13 +143,17 @@ def train_logistic_regression(
     learning_rate: float = 1.0,
     l2: float = 0.0,
     tolerance: float = 1e-6,
+    dim: int | None = None,
 ) -> LogisticRegressionModel:
     """Train on (features array<double>, label long). Binary labels train
-    one sigmoid; >2 classes train one-vs-rest."""
-    dim_row = df.select(F.size(F.col(feature_col)).alias("d")).first()
-    if dim_row is None:
-        raise ValueError("empty training frame")
-    dim = int(dim_row["d"])
+    one sigmoid; >2 classes train one-vs-rest. ``dim``: feature-vector
+    width; None probes the first row (one extra tiny job — pass it
+    explicitly in pipelines, mirroring datapipe/ann.py)."""
+    if dim is None:
+        dim_row = df.select(F.size(F.col(feature_col)).alias("d")).first()
+        if dim_row is None:
+            raise ValueError("empty training frame")
+        dim = int(dim_row["d"])
     classes = sorted(int(r[label_col]) for r in df.select(label_col).distinct().collect())
     if len(classes) < 2:
         raise ValueError(f"need >= 2 classes, got {classes}")

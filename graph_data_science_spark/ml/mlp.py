@@ -87,6 +87,7 @@ def train_mlp_classifier(
     penalty: float = 0.0,
     tolerance: float = 1e-7,
     random_seed: int = 42,
+    dim: int | None = None,
 ) -> MLPClassifierModel:
     """Cross-entropy + penalty·Σ‖W‖² training with Adam, data-parallel
     gradient sums per epoch."""
@@ -95,7 +96,8 @@ def train_mlp_classifier(
     classes = [r[0] for r in df.select(label_col).distinct().orderBy(label_col).collect()]
     cls_index = {c: k for k, c in enumerate(classes)}
     n_classes = len(classes)
-    dim = len(df.select(feature_col).first()[0])
+    if dim is None:
+        dim = len(df.select(feature_col).first()[0])
     n = df.count()
     if n == 0 or n_classes < 2:
         raise ValueError("need a non-empty frame with >= 2 classes")

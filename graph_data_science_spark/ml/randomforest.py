@@ -257,6 +257,7 @@ def train_random_forest(
     samples_ratio: float = 1.0,
     random_seed: int = 42,
     regression: bool = False,
+    dim: int | None = None,
 ) -> RandomForestModel:
     """Config names follow ``RandomForestTrainerConfig``:
     numberOfDecisionTrees, maxDepth, minSplitSize, minLeafSize,
@@ -265,7 +266,8 @@ def train_random_forest(
     bootstrap (every tree sees all rows once) — GDS treats 0 the same way."""
     import pandas as pd
 
-    dim = len(df.select(feature_col).first()[0])
+    if dim is None:
+        dim = len(df.select(feature_col).first()[0])
     if max_features_ratio is None:
         max_features_ratio = (1.0 / np.sqrt(dim)) if not regression else (1.0 / 3.0)
     max_features = max(1, int(np.ceil(max_features_ratio * dim)))
