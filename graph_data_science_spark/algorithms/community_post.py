@@ -61,13 +61,15 @@ def community_postprocess(
         df = df.join(keep, community_col, "left_semi")
     if consecutive_ids:
         # k-row mapping frame: community -> its first (min) surviving node.
+        # k degenerates to ~|V| singleton communities, so the consecutive
+        # rank is the bucketed order-preserving one (graph/ranks.py), not a
+        # partition-less window.
+        from graph_data_science_spark.graph.ranks import ordered_rank
+
         mapping = df.groupBy(community_col).agg(F.min(node_col).alias("_first"))
-        mapping = mapping.select(
-            community_col,
-            (F.row_number().over(Window.orderBy("_first", community_col)) - F.lit(1))
-            .cast("long")
-            .alias("_consecutive"),
-        )
+        mapping = ordered_rank(
+            mapping, ["_first", community_col], rank_col="_consecutive"
+        ).select(community_col, F.col("_consecutive").cast("long").alias("_consecutive"))
         # No broadcast hint: k is usually tiny (AQE picks broadcast at
         # runtime from the observed agg size) but degenerates to ~|V|
         # singleton communities, where a forced broadcast would OOM and

@@ -159,10 +159,13 @@ def dag_longest_path(
         if not int(obs.get.get("pending") or 0):
             break
 
-    w = Window.orderBy(F.asc("target_node"))
+    from graph_data_science_spark.graph.ranks import ordered_rank
+
+    # result index over O(V) target rows: bucketed rank, no global window
+    indexed = ordered_rank(walk, ["target_node"], rank_col="_idx")
     paths = materialize_roundtrip(
-        walk.select(
-            (F.row_number().over(w) - 1).cast("long").alias("index"),
+        indexed.select(
+            F.col("_idx").cast("long").alias("index"),
             F.element_at(F.col("node_ids"), 1).alias("source_node"),
             "target_node",
             "total_cost",

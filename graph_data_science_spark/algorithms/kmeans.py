@@ -101,12 +101,11 @@ def kmeans(
         # be DENSE 0..n-1 indices aligned with the returned centroid list —
         # downstream consumers (ivf_topk) join community against
         # range(len(centroids)), so raw node ids would silently never match.
-        from pyspark.sql import Window
+        from graph_data_science_spark.graph.ranks import ordered_rank
 
-        w = Window.orderBy("node_id")
-        out = df.select(
+        out = ordered_rank(df, ["node_id"], rank_col="_r").select(
             "node_id",
-            (F.row_number().over(w) - 1).cast("int").alias("community"),
+            F.col("_r").cast("int").alias("community"),
             F.lit(0.0).alias("distance"),
         )
         cents = [list(r["vec"]) for r in df.orderBy("node_id").collect()]

@@ -602,10 +602,14 @@ def dijkstra(
         if not int(obs.get.get("pending") or 0):
             break
 
-    w = Window.orderBy(F.asc("total_cost"), F.asc("target_node"))
+    # PathFindingResult index: bucketed order-preserving rank — one path
+    # row per reachable target can be O(V), so no partition-less window.
+    from graph_data_science_spark.graph.ranks import ordered_rank
+
+    indexed = ordered_rank(walk, ["total_cost", "target_node"], rank_col="index")
     paths = materialize_roundtrip(
-        walk.select(
-            (F.row_number().over(w) - 1).cast("long").alias("index"),
+        indexed.select(
+            F.col("index").cast("long").alias("index"),
             F.lit(int(source)).alias("source_node"),
             "target_node",
             "total_cost",
