@@ -200,13 +200,37 @@ def delta_stepping(
         ),
     )
     loop.predict(node_count=n, state_row_bytes=33)  # (node, dist, pending)
-    dist = spark.createDataFrame([(int(source), 0.0, True)], "node long, dist double, pending boolean")
-    dist = loop.commit(dist, 0, {"frontier": 1})
-    current_bin = 0
+    resumed = loop.resume()
+    if resumed is not None:
+        # the bin schedule is a pure function of the committed state:
+        # current bin = min ⌊dist/Δ⌋ over pending nodes
+        dist, start = resumed[0], resumed[1] + 1
+        row = dist.filter(F.col("pending")).agg(
+            F.min(F.floor(F.col("dist") / F.lit(float(delta)))).alias("b")
+        ).collect()[0]
+        if row["b"] is None:
+            prepped.unpersist()
+            return PathResult(
+                distances=dist.select(
+                    F.col("node").alias("node_id"), F.col("dist").alias("distance")
+                ),
+                ran_iterations=resumed[1],
+                did_converge=True,
+                negative_cycle=False,
+                loop=loop,
+            )
+        current_bin = int(row["b"])
+    else:
+        dist = spark.createDataFrame(
+            [(int(source), 0.0, True)], "node long, dist double, pending boolean"
+        )
+        dist = loop.commit(dist, 0, {"frontier": 1})
+        start = 1
+        current_bin = 0
 
     converged = False
-    it = 0
-    for it in range(1, max_iterations + 1):
+    it = start - 1
+    for it in range(start, max_iterations + 1):
         bin_col = F.floor(F.col("dist") / F.lit(float(delta)))
         frontier = dist.filter(F.col("pending") & (bin_col == F.lit(int(current_bin)))).select(
             "node", "dist"

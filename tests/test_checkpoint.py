@@ -89,3 +89,42 @@ def test_wcc_resume(spark, tmp_path):
     a = {(r["node_id"], r["component"]) for r in resumed.components.collect()}
     b = {(r["node_id"], r["component"]) for r in fresh.components.collect()}
     assert a == b
+
+
+def test_delta_stepping_resume(spark, tmp_path):
+    """r4: bucketed delta-stepping resumes mid-bin-schedule; the resumed
+    run's distances must equal an uninterrupted run's."""
+    from graph_data_science_spark.algorithms.paths import delta_stepping
+
+    import random
+
+    rng = random.Random(4)
+    rows = [(rng.randrange(80), rng.randrange(80), float(1 + rng.randrange(9))) for _ in range(300)]
+    from graph_data_science_spark.graph.build import LinkGraph
+
+    g = LinkGraph(edges=spark.createDataFrame(rows, "src long, dst long, weight double"))
+    ck = str(tmp_path / "ck_delta")
+    partial = delta_stepping(g, source=0, delta=3.0, max_iterations=2, checkpoint_dir=ck)
+    assert not partial.did_converge
+    resumed = delta_stepping(g, source=0, delta=3.0, checkpoint_dir=ck)
+    fresh = delta_stepping(g, source=0, delta=3.0)
+    a = {(r["node_id"], round(r["distance"], 9)) for r in resumed.distances.collect()}
+    b = {(r["node_id"], round(r["distance"], 9)) for r in fresh.distances.collect()}
+    assert resumed.did_converge and a == b
+
+
+def test_wcc_star_resume_after_one_action_rework(spark, tmp_path):
+    """r4: wcc_star rounds are now a single commit action with the
+    convergence diff observed in-plan; resume must still reload the last
+    committed pair set and reach the same fixpoint."""
+    from graph_data_science_spark.algorithms.wcc import wcc_star
+
+    t = synthesize_transcripts(spark, 30, seed=6)
+    g = derive_link_graph(t).graph
+    ck = str(tmp_path / "ck_star")
+    wcc_star(g, max_iterations=1, checkpoint_dir=ck)
+    resumed = wcc_star(g, checkpoint_dir=ck)
+    fresh = wcc_star(g)
+    a = {(r["node_id"], r["component"]) for r in resumed.components.collect()}
+    b = {(r["node_id"], r["component"]) for r in fresh.components.collect()}
+    assert a == b
