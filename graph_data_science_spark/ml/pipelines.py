@@ -44,16 +44,29 @@ def _split_flag(key_cols: list, test_fraction: float, seed: int):
 
 
 # Reference hyperparameter spellings → the trainers' own (GDS configs use
-# camelCase and call L2 regularization "penalty": TunableTrainerConfig /
-# LogisticRegressionTrainConfig.java).
+# camelCase throughout: TunableTrainerConfig / *TrainConfig.java). "penalty"
+# maps to logreg's `l2` ONLY — the MLP and linear-regression trainers take
+# `penalty` natively, so the alias is method-scoped.
 _PARAM_ALIASES = {
-    "penalty": "l2",
     "learningRate": "learning_rate",
     "maxEpochs": "max_epochs",
     "maxDepth": "max_depth",
-    "numberOfDecisionTrees": "num_trees",
-    "hiddenLayerSizes": "hidden_sizes",
+    "numberOfDecisionTrees": "number_of_trees",
+    "hiddenLayerSizes": "hidden_layer_sizes",
+    "minSplitSize": "min_split_size",
+    "minLeafSize": "min_leaf_size",
+    "maxFeaturesRatio": "max_features_ratio",
+    "numberOfSamplesRatio": "samples_ratio",
+    "randomSeed": "random_seed",
+    "searchDepth": "search_depth",
 }
+
+
+def _normalize_params(cand: dict, method: str) -> dict:
+    params = {_PARAM_ALIASES.get(k, k): v for k, v in cand.items() if k != "method"}
+    if method == "LogisticRegression" and "penalty" in params:
+        params["l2"] = params.pop("penalty")
+    return params
 
 
 def _fit_model(train: DataFrame, label_col: str, feature_col: str, cand: dict, seed: int):
@@ -61,9 +74,7 @@ def _fit_model(train: DataFrame, label_col: str, feature_col: str, cand: dict, s
     predict_fn(df) adds ``predicted`` (long) + ``probability`` (double of
     the argmax class) regardless of the model family's native shape."""
     method = cand.get("method", "LogisticRegression")
-    params = {
-        _PARAM_ALIASES.get(k, k): v for k, v in cand.items() if k != "method"
-    }
+    params = _normalize_params(cand, method)
     if method == "LogisticRegression":
         m = train_logistic_regression(train, label_col, feature_col, **params)
         return m, lambda df: m.predict(df, feature_col)
@@ -359,9 +370,7 @@ class NodeRegressionResult:
 
 def _fit_regressor(train: DataFrame, target_col: str, feature_col: str, cand: dict, seed: int):
     method = cand.get("method", "LinearRegression")
-    params = {
-        _PARAM_ALIASES.get(k, k): v for k, v in cand.items() if k != "method"
-    }
+    params = _normalize_params(cand, method)
     if method == "LinearRegression":
         from graph_data_science_spark.ml.linreg import train_linear_regression
 

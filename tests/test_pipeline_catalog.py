@@ -224,3 +224,16 @@ def test_auto_tuning_end_to_end_train(spark):
     p.configure_split(test_fraction=0.3, validation_folds=2)
     res = p.train(g, labels, seed=7)
     assert res is not None and res.predictions.count() > 0
+
+
+def test_param_alias_is_method_scoped():
+    """penalty maps to logreg's l2 only; MLP and linreg take penalty
+    natively and camelCase spellings map per trainer."""
+    from graph_data_science_spark.ml.pipelines import _normalize_params
+
+    lr = _normalize_params({"method": "LogisticRegression", "penalty": 0.5, "maxEpochs": 5}, "LogisticRegression")
+    assert lr == {"l2": 0.5, "max_epochs": 5}
+    mlp = _normalize_params({"method": "MLP", "penalty": 0.1, "hiddenLayerSizes": (8,)}, "MLP")
+    assert mlp == {"penalty": 0.1, "hidden_layer_sizes": (8,)}
+    rf = _normalize_params({"method": "RandomForest", "numberOfDecisionTrees": 5, "maxDepth": 3}, "RandomForest")
+    assert rf == {"number_of_trees": 5, "max_depth": 3}
