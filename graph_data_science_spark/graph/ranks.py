@@ -109,6 +109,14 @@ def _bucketed(
     return df.withColumn("_rk_bucket", bucket.cast("int"))
 
 
+def _py_str(v) -> str:
+    """Match Spark's CAST(x AS STRING) for the types partition columns
+    take (booleans differ: Python 'True' vs Spark 'true')."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
 def _offsets_map(rows, partition_cols, value_field) -> Column:
     """Driver-side prefix sum of per-(partition, bucket) totals → a map
     literal keyed by 'part-vals␟bucket'. ≤ |partition groups| × n_buckets
@@ -117,9 +125,9 @@ def _offsets_map(rows, partition_cols, value_field) -> Column:
     keys, vals = [], []
     acc_by_part: dict = {}
     for r in sorted(
-        rows, key=lambda r: (tuple(str(r[c]) for c in partition_cols), r["_rk_bucket"])
+        rows, key=lambda r: (tuple(_py_str(r[c]) for c in partition_cols), r["_rk_bucket"])
     ):
-        part = tuple(str(r[c]) for c in partition_cols)
+        part = tuple(_py_str(r[c]) for c in partition_cols)
         acc = acc_by_part.get(part, 0)
         keys.append("\x1f".join(part + (str(r["_rk_bucket"]),)))
         vals.append(acc)

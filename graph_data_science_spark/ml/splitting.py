@@ -312,6 +312,8 @@ def stratified_kfold_split(
     cls_rows = df.groupBy(target_col).agg(F.count("*").alias("_n")).collect()
     # sorted class order: Python's sort matches Spark's for numerics and
     # for strings (UTF-8 bytewise == code-point order)
+    from graph_data_science_spark.graph.ranks import _py_str
+
     offsets, acc = [], 0
     for r in sorted(cls_rows, key=lambda r: r[target_col]):
         offsets.append((r[target_col], acc))
@@ -319,7 +321,7 @@ def stratified_kfold_split(
     if offsets:
         off_col = F.element_at(
             F.map_from_arrays(
-                F.array(*[F.lit(str(v)) for v, _ in offsets]),
+                F.array(*[F.lit(_py_str(v)) for v, _ in offsets]),
                 F.array(*[F.lit(o) for _, o in offsets]),
             ),
             F.col(target_col).cast("string"),

@@ -121,3 +121,25 @@ def test_negative_sample_plan_distributed(spark):
     out = negative_sample(LinkGraph(edges=edges), 20, random_seed=7)
     assert "SinglePartition" not in _physical(out), _physical(out)
     assert out.count() > 0
+
+
+def test_rank_partitioned_boolean_classes(spark):
+    """Boolean partition columns: Python stringifies True/False while Spark
+    casts to true/false — the offsets map must match Spark's spelling."""
+    df = spark.range(200).select(
+        (F.col("id") % 2 == 0).alias("cls"), ((F.col("id") * 37) % 997).alias("k")
+    )
+    got = ordered_rank(df, ["k"], rank_col="_r", partition_cols=("cls",), n_buckets=4)
+    exp = _naive_rank(df, ["k"], partition_cols=("cls",))
+    assert got.join(exp, ["cls", "k"]).filter(F.col("_r") != F.col("_exp")).count() == 0
+
+
+def test_kfold_boolean_target(spark):
+    from graph_data_science_spark.ml.splitting import stratified_kfold_split
+
+    df = spark.range(90).select(
+        F.col("id").alias("nid"), (F.col("id") % 2 == 0).alias("lbl")
+    )
+    folded = stratified_kfold_split(df, 3, "lbl", "nid")
+    sizes = sorted(r["c"] for r in folded.groupBy("fold").agg(F.count("*").alias("c")).collect())
+    assert sizes == [30, 30, 30]
