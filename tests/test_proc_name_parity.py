@@ -271,7 +271,13 @@ def test_configure_auto_tuning_caps_candidates():
     for lr in (0.1, 0.5, 1.0):
         p.add_logistic_regression(learning_rate=lr)
     p.configure_auto_tuning(max_trials=2)
-    assert len(p._candidates()) == 2
-    assert [c["learning_rate"] for c in p._candidates()] == [0.1, 0.5]
+    # r4 reference-faithful RandomSearch semantics: CONCRETE configs all
+    # trial (maxTrials caps only random-search trials over ranged
+    # configs — RandomSearch.java totalNumberOfTrials = maxTrials +
+    # |concrete|), so all three concrete configs survive...
+    assert [c["learning_rate"] for c in p._candidates()] == [0.1, 0.5, 1.0]
+    # ...and maxTrials binds once a tunable config exists.
+    p.add_logistic_regression(learning_rate={"range": [0.01, 1.0]})
+    assert len(p._candidates()) == 3 + 2
     with pytest.raises(ValueError):
         p.configure_auto_tuning(max_trials=0)
