@@ -68,7 +68,7 @@ def community_postprocess(
 
         mapping = df.groupBy(community_col).agg(F.min(node_col).alias("_first"))
         mapping = ordered_rank(
-            mapping, ["_first", community_col], rank_col="_consecutive"
+            mapping, ["_first", community_col], rank_col="_consecutive", n_buckets=None
         ).select(community_col, F.col("_consecutive").cast("long").alias("_consecutive"))
         # No broadcast hint: k is usually tiny (AQE picks broadcast at
         # runtime from the observed agg size) but degenerates to ~|V|

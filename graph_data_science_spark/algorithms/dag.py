@@ -162,7 +162,7 @@ def dag_longest_path(
     from graph_data_science_spark.graph.ranks import ordered_rank
 
     # result index over O(V) target rows: bucketed rank, no global window
-    indexed = ordered_rank(walk, ["target_node"], rank_col="_idx")
+    indexed = ordered_rank(walk, ["target_node"], rank_col="_idx", n_buckets=None)
     paths = materialize_roundtrip(
         indexed.select(
             F.col("_idx").cast("long").alias("index"),

@@ -303,7 +303,7 @@ def graphsage_train(
     # running sums + driver prefix of bucket totals — not a partition-less
     # window, which would single-task O(V) rows every training call
     cum = (
-        ordered_cumsum(wtab, ["node_id"], "w", cum_col="cum_hi")
+        ordered_cumsum(wtab, ["node_id"], "w", cum_col="cum_hi", n_buckets=None, n_rows=n_nodes)
         .withColumn("cum_lo", F.col("cum_hi") - F.col("w"))
         .filter(F.col("w") > 0)
     )

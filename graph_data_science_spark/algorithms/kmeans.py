@@ -103,7 +103,7 @@ def kmeans(
         # range(len(centroids)), so raw node ids would silently never match.
         from graph_data_science_spark.graph.ranks import ordered_rank
 
-        out = ordered_rank(df, ["node_id"], rank_col="_r").select(
+        out = ordered_rank(df, ["node_id"], rank_col="_r", n_buckets=None, n_rows=n).select(
             "node_id",
             F.col("_r").cast("int").alias("community"),
             F.lit(0.0).alias("distance"),

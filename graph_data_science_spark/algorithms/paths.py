@@ -630,7 +630,9 @@ def dijkstra(
     # row per reachable target can be O(V), so no partition-less window.
     from graph_data_science_spark.graph.ranks import ordered_rank
 
-    indexed = ordered_rank(walk, ["total_cost", "target_node"], rank_col="index")
+    indexed = ordered_rank(
+        walk, ["total_cost", "target_node"], rank_col="index", n_buckets=None
+    )
     paths = materialize_roundtrip(
         indexed.select(
             F.col("index").cast("long").alias("index"),

@@ -55,7 +55,15 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+from graph_data_science_spark.graph.ids import bucket_count_for
+
 DEFAULT_BUCKETS = 256
+
+# Above this many (partition, bucket) offset entries, the driver-built map
+# LITERAL becomes a plan-bloating expression (10^12 rows → 2^19 buckets →
+# a 500k-entry literal); switch to a broadcast equi-join against a tiny
+# offsets DataFrame instead.
+_MAP_LITERAL_MAX = 8192
 
 
 def _monotone_key(df: DataFrame, col: str) -> tuple[Column, bool]:
@@ -117,31 +125,61 @@ def _py_str(v) -> str:
     return str(v)
 
 
-def _offsets_map(rows, partition_cols, value_field) -> Column:
-    """Driver-side prefix sum of per-(partition, bucket) totals → a map
-    literal keyed by 'part-vals␟bucket'. ≤ |partition groups| × n_buckets
-    entries — tiny by construction (callers keep partition_cols
-    low-cardinality; the buckets are the scale axis)."""
-    keys, vals = [], []
-    acc_by_part: dict = {}
+def _prefix_offsets(rows, partition_cols, value_field) -> list[tuple]:
+    """Driver-side prefix sum of per-(partition, bucket) totals, in
+    (partition order, bucket order). Returns [(part_key_str, bucket,
+    offset)] — ≤ |partition groups| × n_buckets entries."""
+    out, acc_by_part = [], {}
     for r in sorted(
         rows, key=lambda r: (tuple(_py_str(r[c]) for c in partition_cols), r["_rk_bucket"])
     ):
         part = tuple(_py_str(r[c]) for c in partition_cols)
         acc = acc_by_part.get(part, 0)
-        keys.append("\x1f".join(part + (str(r["_rk_bucket"]),)))
-        vals.append(acc)
+        out.append(("\x1f".join(part), int(r["_rk_bucket"]), acc))
         acc_by_part[part] = acc + r[value_field]
-    if not keys:
-        return F.lit(0)
-    return F.element_at(
-        F.map_from_arrays(
-            F.array(*[F.lit(k) for k in keys]), F.array(*[F.lit(v) for v in vals])
-        ),
-        F.concat_ws(
-            "\x1f", *[F.col(c).cast("string") for c in partition_cols], F.col("_rk_bucket").cast("string")
-        ),
+    return out
+
+
+def _with_offset(b: DataFrame, offsets: list[tuple], partition_cols) -> DataFrame:
+    """Attach ``_rk_off`` to the bucket-annotated frame: a map literal for
+    small offset tables, a broadcast equi-join above _MAP_LITERAL_MAX
+    (10^12-row inputs produce too many buckets for a literal plan node)."""
+    if not offsets:
+        return b.withColumn("_rk_off", F.lit(0))
+    part_key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in partition_cols])
+    if len(offsets) <= _MAP_LITERAL_MAX:
+        keys = [f"{p}\x1f{bk}" if p else str(bk) for p, bk, _ in offsets]
+        vals = [off for _, _, off in offsets]
+        lookup = F.element_at(
+            F.map_from_arrays(
+                F.array(*[F.lit(k) for k in keys]), F.array(*[F.lit(v) for v in vals])
+            ),
+            F.concat_ws("\x1f", part_key, F.col("_rk_bucket").cast("string"))
+            if partition_cols
+            else F.col("_rk_bucket").cast("string"),
+        )
+        return b.withColumn("_rk_off", lookup)
+    spark = b.sparkSession
+    odf = spark.createDataFrame(
+        [(p, bk, off) for p, bk, off in offsets],
+        "_rk_part string, _rk_bucket int, _rk_off long",
     )
+    joined = b.withColumn("_rk_part", part_key).join(
+        F.broadcast(odf), ["_rk_part", "_rk_bucket"], "left"
+    )
+    return joined.drop("_rk_part")
+
+
+def _resolve_buckets(df: DataFrame, n_buckets: int | None, n_rows: int | None) -> int:
+    """``n_buckets=None`` sizes buckets from the row count so per-bucket
+    single-task sorts stay ~2M rows at ANY scale (`ids.bucket_count_for`;
+    10^12 rows → 2^19 buckets — never a fixed small constant). Pass
+    ``n_rows`` when the caller already knows it to skip the count()."""
+    if n_buckets is not None:
+        return int(n_buckets)
+    if n_rows is None:
+        n_rows = df.count()
+    return bucket_count_for(int(n_rows))
 
 
 def ordered_rank(
@@ -149,22 +187,25 @@ def ordered_rank(
     order_cols: list[str],
     rank_col: str = "_rank",
     partition_cols: tuple[str, ...] = (),
-    n_buckets: int = DEFAULT_BUCKETS,
+    n_buckets: int | None = DEFAULT_BUCKETS,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """``df`` + ``rank_col`` = 0-based ``row_number() OVER (PARTITION BY
     partition_cols ORDER BY order_cols) - 1``, computed without a global
     single-partition window. ``partition_cols`` (if any) must be
     low-cardinality — per-(partition, bucket) counts are collected to the
-    driver. Bit-identical to the naive window."""
+    driver. Bit-identical to the naive window. ``n_buckets=None`` derives
+    the bucket count from the row count (see ``_resolve_buckets``)."""
+    n_buckets = _resolve_buckets(df, n_buckets, n_rows)
     b = _bucketed(df, order_cols, partition_cols, n_buckets)
     counts = (
         b.groupBy(*partition_cols, "_rk_bucket").agg(F.count("*").alias("_n")).collect()
     )
-    offset = _offsets_map(counts, partition_cols, "_n")
+    b = _with_offset(b, _prefix_offsets(counts, partition_cols, "_n"), partition_cols)
     w = Window.partitionBy(*partition_cols, "_rk_bucket").orderBy(*order_cols)
     return (
-        b.withColumn(rank_col, (F.row_number().over(w) - 1 + offset).cast("long"))
-        .drop("_rk_bucket")
+        b.withColumn(rank_col, (F.row_number().over(w) - 1 + F.col("_rk_off")).cast("long"))
+        .drop("_rk_bucket", "_rk_off")
     )
 
 
@@ -174,7 +215,8 @@ def ordered_cumsum(
     value_col: str,
     cum_col: str = "_cum",
     partition_cols: tuple[str, ...] = (),
-    n_buckets: int = DEFAULT_BUCKETS,
+    n_buckets: int | None = DEFAULT_BUCKETS,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """``df`` + ``cum_col`` = inclusive ``sum(value_col) OVER (PARTITION BY
     partition_cols ORDER BY order_cols ROWS UNBOUNDED PRECEDING)``,
@@ -182,19 +224,20 @@ def ordered_cumsum(
     totals. Floating-point note: addition is reassociated across buckets,
     so the result matches the naive window up to fp rounding (exact for
     integral value columns)."""
+    n_buckets = _resolve_buckets(df, n_buckets, n_rows)
     b = _bucketed(df, order_cols, partition_cols, n_buckets)
     totals = (
         b.groupBy(*partition_cols, "_rk_bucket")
         .agg(F.sum(F.col(value_col)).alias("_t"))
         .collect()
     )
-    offset = _offsets_map(totals, partition_cols, "_t")
+    b = _with_offset(b, _prefix_offsets(totals, partition_cols, "_t"), partition_cols)
     w = (
         Window.partitionBy(*partition_cols, "_rk_bucket")
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
-        b.withColumn(cum_col, F.sum(F.col(value_col)).over(w) + offset)
-        .drop("_rk_bucket")
+        b.withColumn(cum_col, F.sum(F.col(value_col)).over(w) + F.col("_rk_off"))
+        .drop("_rk_bucket", "_rk_off")
     )

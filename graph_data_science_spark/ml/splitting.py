@@ -212,7 +212,7 @@ def negative_sample(
     # preserving bucketed rank (graph/ranks.py) — NOT a partition-less
     # row_number window, which would drag the full node set through one
     # task at scale.
-    pos_map = ordered_rank(nodes, ["node_id"], rank_col="_pos").select(
+    pos_map = ordered_rank(nodes, ["node_id"], rank_col="_pos", n_buckets=None, n_rows=n).select(
         "_pos", F.col("node_id").alias("dst")
     )
 
@@ -232,6 +232,8 @@ def negative_sample(
         ),
         ["node_id"],
         rank_col="_sr",
+        n_buckets=None,
+        n_rows=n,
     ).persist()
     s_count = srcs.count()
     base, extra = divmod(count, max(s_count, 1))
@@ -280,7 +282,7 @@ def fraction_split(
     n = df.count()
     train_size = int(n * train_fraction)
     order = [order_col] + [c for c in df.columns if c != order_col]
-    ranked = ordered_rank(df, order, rank_col="_r")
+    ranked = ordered_rank(df, order, rank_col="_r", n_buckets=None, n_rows=n)
     train = ranked.filter(F.col("_r") < train_size).drop("_r")
     test = ranked.filter(F.col("_r") >= train_size).drop("_r")
     return train, test
@@ -329,7 +331,12 @@ def stratified_kfold_split(
     else:
         off_col = F.lit(0)
     ranked = ordered_rank(
-        df, [order_col] + ties, rank_col="_wr", partition_cols=(target_col,)
+        df,
+        [order_col] + ties,
+        rank_col="_wr",
+        partition_cols=(target_col,),
+        n_buckets=None,
+        n_rows=acc,
     )
     return (
         ranked.withColumn("fold", ((F.col("_wr") + off_col) % k).cast("int"))

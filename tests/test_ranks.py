@@ -143,3 +143,24 @@ def test_kfold_boolean_target(spark):
     folded = stratified_kfold_split(df, 3, "lbl", "nid")
     sizes = sorted(r["c"] for r in folded.groupBy("fold").agg(F.count("*").alias("c")).collect())
     assert sizes == [30, 30, 30]
+
+
+def test_rank_broadcast_join_fallback_many_buckets(spark, monkeypatch):
+    """Above _MAP_LITERAL_MAX offset entries the offsets attach via a
+    broadcast join instead of a map literal; results stay bit-identical."""
+    from graph_data_science_spark.graph import ranks
+
+    monkeypatch.setattr(ranks, "_MAP_LITERAL_MAX", 4)
+    df = spark.range(3000).select(((F.col("id") * 48271) % 9973).alias("k"))
+    got = ranks.ordered_rank(df, ["k"], rank_col="_r", n_buckets=16)
+    exp = _naive_rank(df, ["k"])
+    assert got.join(exp, "k").filter(F.col("_r") != F.col("_exp")).count() == 0
+
+
+def test_auto_bucket_sizing(spark):
+    """n_buckets=None derives the count from the data (bucket_count_for):
+    small inputs get the floor, and the result is still exact."""
+    df = spark.range(1000).select(F.col("id").alias("k"))
+    got = ordered_rank(df, ["k"], rank_col="_r", n_buckets=None)
+    exp = _naive_rank(df, ["k"])
+    assert got.join(exp, "k").filter(F.col("_r") != F.col("_exp")).count() == 0
