@@ -125,44 +125,63 @@ def _py_str(v) -> str:
     return str(v)
 
 
-def _prefix_offsets(rows, partition_cols, value_field) -> list[tuple]:
+def _prefix_offsets(rows, partition_cols, value_fields) -> list[tuple]:
     """Driver-side prefix sum of per-(partition, bucket) totals, in
-    (partition order, bucket order). Returns [(part_key_str, bucket,
-    offset)] — ≤ |partition groups| × n_buckets entries."""
+    (partition order, bucket order). ``value_fields`` is a list; returns
+    [(part_key_str, bucket, off_1, ..., off_k)] — ≤ |partition groups| ×
+    n_buckets entries, one offset per field."""
+    if isinstance(value_fields, str):
+        value_fields = [value_fields]
     out, acc_by_part = [], {}
     for r in sorted(
         rows, key=lambda r: (tuple(_py_str(r[c]) for c in partition_cols), r["_rk_bucket"])
     ):
         part = tuple(_py_str(r[c]) for c in partition_cols)
-        acc = acc_by_part.get(part, 0)
-        out.append(("\x1f".join(part), int(r["_rk_bucket"]), acc))
-        acc_by_part[part] = acc + r[value_field]
+        accs = acc_by_part.get(part, [0] * len(value_fields))
+        out.append(("\x1f".join(part), int(r["_rk_bucket"]), *accs))
+        acc_by_part[part] = [a + (r[f] or 0) for a, f in zip(accs, value_fields)]
     return out
 
 
-def _with_offset(b: DataFrame, offsets: list[tuple], partition_cols) -> DataFrame:
-    """Attach ``_rk_off`` to the bucket-annotated frame: a map literal for
-    small offset tables, a broadcast equi-join above _MAP_LITERAL_MAX
-    (10^12-row inputs produce too many buckets for a literal plan node)."""
+def _with_offset(
+    b: DataFrame, offsets: list[tuple], partition_cols, off_cols: tuple[str, ...] = ("_rk_off",)
+) -> DataFrame:
+    """Attach offset column(s) to the bucket-annotated frame: a map literal
+    for small offset tables, a broadcast equi-join above _MAP_LITERAL_MAX
+    (10^12-row inputs produce too many buckets for a literal plan node).
+    ``offsets`` rows are (part_key_str, bucket, off_1, ..., off_k) aligned
+    with ``off_cols``. Offsets may be float (fp cumsum totals) — column
+    types follow the Python values."""
     if not offsets:
-        return b.withColumn("_rk_off", F.lit(0))
+        for oc in off_cols:
+            b = b.withColumn(oc, F.lit(0))
+        return b
     part_key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in partition_cols])
     if len(offsets) <= _MAP_LITERAL_MAX:
-        keys = [f"{p}\x1f{bk}" if p else str(bk) for p, bk, _ in offsets]
-        vals = [off for _, _, off in offsets]
-        lookup = F.element_at(
-            F.map_from_arrays(
-                F.array(*[F.lit(k) for k in keys]), F.array(*[F.lit(v) for v in vals])
-            ),
+        keys = [f"{row[0]}\x1f{row[1]}" if row[0] else str(row[1]) for row in offsets]
+        probe = (
             F.concat_ws("\x1f", part_key, F.col("_rk_bucket").cast("string"))
             if partition_cols
-            else F.col("_rk_bucket").cast("string"),
+            else F.col("_rk_bucket").cast("string")
         )
-        return b.withColumn("_rk_off", lookup)
+        for i, oc in enumerate(off_cols):
+            vals = [row[2 + i] for row in offsets]
+            lookup = F.element_at(
+                F.map_from_arrays(
+                    F.array(*[F.lit(k) for k in keys]), F.array(*[F.lit(v) for v in vals])
+                ),
+                probe,
+            )
+            b = b.withColumn(oc, lookup)
+        return b
     spark = b.sparkSession
+    fields = ", ".join(
+        f"`{oc}` " + ("double" if isinstance(offsets[0][2 + i], float) else "long")
+        for i, oc in enumerate(off_cols)
+    )
     odf = spark.createDataFrame(
-        [(p, bk, off) for p, bk, off in offsets],
-        "_rk_part string, _rk_bucket int, _rk_off long",
+        [tuple(row) for row in offsets],
+        f"_rk_part string, _rk_bucket int, {fields}",
     )
     joined = b.withColumn("_rk_part", part_key).join(
         F.broadcast(odf), ["_rk_part", "_rk_bucket"], "left"
@@ -224,20 +243,49 @@ def ordered_cumsum(
     totals. Floating-point note: addition is reassociated across buckets,
     so the result matches the naive window up to fp rounding (exact for
     integral value columns)."""
+    return ordered_scan(
+        df,
+        order_cols,
+        {value_col: cum_col},
+        partition_cols=partition_cols,
+        n_buckets=n_buckets,
+        n_rows=n_rows,
+    )
+
+
+def ordered_scan(
+    df: DataFrame,
+    order_cols: list[str],
+    cumsums: dict[str, str],
+    rank_col: str | None = None,
+    partition_cols: tuple[str, ...] = (),
+    n_buckets: int | None = DEFAULT_BUCKETS,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Several inclusive running sums (``cumsums``: value column → output
+    column) and optionally a 0-based ``rank_col`` over the SAME global
+    order, in ONE bucket pass (one tiny driver collect of per-bucket
+    totals, one per-bucket window). The k-cumsum generalization of
+    :func:`ordered_cumsum` — bit-identical to k naive global windows plus
+    ``row_number() - 1`` (fp caveat of ordered_cumsum applies)."""
     n_buckets = _resolve_buckets(df, n_buckets, n_rows)
     b = _bucketed(df, order_cols, partition_cols, n_buckets)
-    totals = (
-        b.groupBy(*partition_cols, "_rk_bucket")
-        .agg(F.sum(F.col(value_col)).alias("_t"))
-        .collect()
+    value_cols = list(cumsums)
+    aggs = [F.sum(F.col(vc)).alias(f"_t{i}") for i, vc in enumerate(value_cols)]
+    if rank_col is not None:
+        aggs.append(F.count("*").alias("_tn"))
+    totals = b.groupBy(*partition_cols, "_rk_bucket").agg(*aggs).collect()
+    fields = [f"_t{i}" for i in range(len(value_cols))] + (
+        ["_tn"] if rank_col is not None else []
     )
-    b = _with_offset(b, _prefix_offsets(totals, partition_cols, "_t"), partition_cols)
-    w = (
-        Window.partitionBy(*partition_cols, "_rk_bucket")
-        .orderBy(*order_cols)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return (
-        b.withColumn(cum_col, F.sum(F.col(value_col)).over(w) + F.col("_rk_off"))
-        .drop("_rk_bucket", "_rk_off")
-    )
+    off_cols = tuple(f"_rk_off{i}" for i in range(len(fields)))
+    b = _with_offset(b, _prefix_offsets(totals, partition_cols, fields), partition_cols, off_cols)
+    w = Window.partitionBy(*partition_cols, "_rk_bucket").orderBy(*order_cols)
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    for i, vc in enumerate(value_cols):
+        b = b.withColumn(cumsums[vc], F.sum(F.col(vc)).over(wsum) + F.col(off_cols[i]))
+    if rank_col is not None:
+        b = b.withColumn(
+            rank_col, (F.row_number().over(w) - 1 + F.col(off_cols[len(value_cols)])).cast("long")
+        )
+    return b.drop("_rk_bucket", *off_cols)

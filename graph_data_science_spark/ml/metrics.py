@@ -5,11 +5,12 @@ F1Weighted}.java``, ``regression/RegressionMetrics.java:33-80``,
 
 All metrics are single aggregations over a (target, prediction[, prob])
 frame — one shuffle on the class key for per-class metrics, one global agg
-for the rest. AUCPR builds the precision-recall curve with a cumulative
-window over DISTINCT thresholds (descending sweep, ties grouped — exactly
-the reference's signed-probability walk) and integrates trapezoids with a
-lag window; the curve has at most |distinct scores| points, so the sort is
-cheap even when the scored pairs table is 100 TB.
+for the rest. AUCPR builds the precision-recall curve as a distributed
+cumulative scan over DISTINCT thresholds (descending sweep, ties grouped —
+exactly the reference's signed-probability walk; ``graph/ranks.py``
+two-level scan, never a single-partition window) and integrates trapezoids
+with a point-index self-join; the curve has at most |distinct scores|
+points, and ``max_thresholds`` bounds even that for continuous scores.
 
 Per-class F1 = 2TP/(2TP+FP+FN) (``F1Score.java``); macro = unweighted mean
 over the class set; weighted = Σ f1·support / Σ support (``F1Weighted``).
@@ -18,7 +19,7 @@ Classes with zero denominator score 0, as the reference's division guard.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -110,9 +111,10 @@ def aucpr(
     TP / (TP + w·FP), recall = TP / P, close the curve at (0, 1), integrate
     trapezoids. Returns 0 when there are no positives, per the reference.
 
-    ``max_thresholds``: the curve windows sweep DISTINCT scores, which for
-    continuous scores is O(N) rows through one task. Setting this caps the
-    sweep by equi-width-quantizing scores into at most that many value
+    ``max_thresholds``: the curve sweeps DISTINCT scores, which for
+    continuous scores is O(N) curve points (distributed, but still O(N)
+    rows materialized). Setting this caps the sweep by
+    equi-width-quantizing scores into at most that many value
     buckets first (each bucket keyed by its maximum member score) — the
     resulting curve is the exact curve sampled at the bucket boundaries,
     the standard large-scale approximation. ``None`` preserves the
@@ -148,35 +150,49 @@ def aucpr(
 
 
 def _aucpr_from_curve(df, agg, lbl, negative_class_weight):
-    w = Window.orderBy(F.desc("thr"))
-    curve = agg.select(
-        "thr",
-        F.sum("pos").over(w).alias("tp"),
-        F.sum("neg").over(w).alias("fp"),
-    )
+    # Cumulative tp/fp over thresholds DESCENDING plus the curve-point
+    # index, via the distributed two-level scan (graph/ranks.py) instead
+    # of a single-partition global window. The integration order the
+    # reference walks — (recall asc, precision desc) — IS threshold-desc
+    # order: recall = tp/P is non-decreasing as thr falls, and within an
+    # equal-recall run (tp constant) fp strictly grows so precision
+    # strictly falls; the closing point (recall 0, precision 1) precedes
+    # every curve point (a curve point with precision 1 has fp=0, tp>0 ⇒
+    # recall>0; one with recall 0 has tp=0 ⇒ precision<1). So the lag
+    # window becomes a self-join on the scan's point index, with the
+    # k=0 point lagging onto the closing point via coalesce.
     totals = df.agg(
         F.sum((lbl > 0).cast("long")).alias("p"), F.sum((lbl <= 0).cast("long")).alias("n")
     ).collect()[0]
     p_count = int(totals["p"] or 0)
     if p_count == 0:
         return 0.0
+    from graph_data_science_spark.graph.ranks import ordered_scan
+
+    curve = ordered_scan(
+        agg.withColumn("_negthr", -F.col("thr")),
+        ["_negthr"],
+        {"pos": "tp", "neg": "fp"},
+        rank_col="_k",
+        n_buckets=None,
+    )
     pts = curve.select(
+        "_k",
         (F.col("tp") / F.lit(float(p_count))).alias("recall"),
         (
             F.col("tp")
             / (F.col("tp") + F.lit(float(negative_class_weight)) * F.col("fp"))
         ).alias("precision"),
     )
-    # prepend the closing point (recall 0, precision 1); trapezoid via lag
-    spark = df.sparkSession
-    pts = pts.union(spark.createDataFrame([(0.0, 1.0)], "recall double, precision double"))
-    wseq = Window.orderBy(F.asc("recall"), F.desc("precision"))
-    tz = pts.select(
+    prev = pts.select(
+        (F.col("_k") + 1).alias("_k"), F.col("recall").alias("r0"), F.col("precision").alias("p0")
+    )
+    tz = pts.join(prev, "_k", "left").select(
         "recall",
         "precision",
-        F.lag("recall").over(wseq).alias("r0"),
-        F.lag("precision").over(wseq).alias("p0"),
-    ).filter(F.col("r0").isNotNull())
+        F.coalesce(F.col("r0"), F.lit(0.0)).alias("r0"),
+        F.coalesce(F.col("p0"), F.lit(1.0)).alias("p0"),
+    )
     area = tz.agg(
         F.sum((F.col("recall") - F.col("r0")) * (F.col("precision") + F.col("p0")) / 2.0)
     ).collect()[0][0]

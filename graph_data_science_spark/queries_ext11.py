@@ -20,12 +20,13 @@ random-walk visit counting.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graph_data_science_spark import functions as GF
 from graph_data_science_spark.algorithms.knn import knn
 from graph_data_science_spark.algorithms.walks import random_walk_visit_counts
+from graph_data_science_spark.graph.ranks import ordered_rank
 from graph_data_science_spark.queries import _e, _t
 from graph_data_science_spark.queries_ext import _supply_tree_graph
 from graph_data_science_spark.queries_ext2 import _WALK_LEN, _WALK_SEED, Q_WALKS_SQL
@@ -64,7 +65,10 @@ def q_similarity_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cnt") >= 4)
         .select(F.col("l_orderkey").cast("long").alias("okey"), "v")
     )
-    ranked = vecs.withColumn("r", F.row_number().over(Window.orderBy("okey")))
+    # distributed rank (bit-identical to row_number() OVER (ORDER BY okey))
+    ranked = ordered_rank(vecs, ["okey"], rank_col="_r0").withColumn(
+        "r", (F.col("_r0") + 1).cast("int")
+    ).drop("_r0")
     a = ranked.filter(F.col("r") % 2 == 1).select(
         ((F.col("r") + 1) / 2).cast("long").alias("pair_id"), F.col("okey").alias("a"), F.col("v").alias("va")
     )
