@@ -102,13 +102,29 @@ def minhash_signatures(
     num_perm: int = 8,
     n: int = 3,
 ) -> DataFrame:
-    """(id, h0..h{num_perm-1}): minhash over distinct word shingles with
-    portable seeded hashes. Documents with no shingles get all-(-1)."""
+    """(id, h0..h{num_perm-1}): minhash over distinct word shingles with a
+    portable hash family. Documents with no shingles get all-(-1).
+
+    ONE md5 digest per shingle, not one per permutation: the digest is
+    split into two independent 52-bit integers (b1, b2) and permutation
+    j's hash is ``b1 + j*b2`` (Kirsch–Mitzenmacher double hashing — the
+    standard single-base-hash + affine-permutation MinHash construction).
+    Production LSH runs num_perm = 128+, where a digest per permutation
+    multiplies the corpus-scan CPU 128×; the affine family costs one
+    64-bit multiply-add per permutation instead, and stays replayable as
+    pure integer SQL in any engine with md5. Max value 2^52 + 127·2^52 <
+    2^59 — no int64 overflow up to num_perm = 2048."""
     sh = word_shingles(df, id_col, text_col, n)
+    digest = F.md5(F.col("shingle"))
+    hashed = sh.select(
+        F.col(id_col),
+        F.conv(F.substring(digest, 1, 13), 16, 10).cast("long").alias("_b1"),
+        F.conv(F.substring(digest, 14, 13), 16, 10).cast("long").alias("_b2"),
+    )
     aggs = [
-        F.min(portable_hash(F.col("shingle"), seed=j)).alias(f"h{j}") for j in range(num_perm)
+        F.min(F.col("_b1") + F.lit(j) * F.col("_b2")).alias(f"h{j}") for j in range(num_perm)
     ]
-    sig = sh.groupBy(id_col).agg(*aggs)
+    sig = hashed.groupBy(id_col).agg(*aggs)
     ids = df.select(id_col).distinct()
     return ids.join(sig, id_col, "left").select(
         id_col, *[F.coalesce(F.col(f"h{j}"), F.lit(-1)).alias(f"h{j}") for j in range(num_perm)]

@@ -636,9 +636,18 @@ def _portable_hash_sql(expr: str, seed) -> str:
     return f"(('0x' || substr(md5('{seed}:' || {expr}), 1, 15))::BIGINT)"
 
 
+def _minhash_perm_sql(j: int) -> str:
+    """Permutation j over the single-digest double-hash family: the md5
+    digest split into two 52-bit ints b1, b2; h_j = b1 + j*b2 (mirrors
+    ``datapipe/dedup.py:minhash_signatures``)."""
+    b1 = "(('0x' || substr(md5(shingle), 1, 13))::BIGINT)"
+    b2 = "(('0x' || substr(md5(shingle), 14, 13))::BIGINT)"
+    return f"({b1} + {j} * {b2})"
+
+
 Q_MINHASH_SQL = (
     f"WITH {_SHINGLES_SQL}, sig AS (SELECT doc_id, "
-    + ", ".join(f"MIN({_portable_hash_sql('shingle', j)}) AS h{j}" for j in range(8))
+    + ", ".join(f"MIN({_minhash_perm_sql(j)}) AS h{j}" for j in range(8))
     + " FROM sh GROUP BY doc_id) SELECT d.doc_id, "
     + ", ".join(f"COALESCE(sig.h{j}, -1) AS h{j}" for j in range(8))
     + " FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN sig ON sig.doc_id = d.doc_id"

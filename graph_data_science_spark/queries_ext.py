@@ -35,7 +35,7 @@ from graph_data_science_spark.queries import (
     _custpart_graph,
     _e,
     _order_chain_graph,
-    _portable_hash_sql,
+    _minhash_perm_sql,
     _supply_web_graph,
     _t,
 )
@@ -431,7 +431,7 @@ _LSH_SIG_SQL = (
         f"COALESCE(s.h{j}, -1) AS h{j}" for j in range(8)
     )
     + " FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN (SELECT doc_id, "
-    + ", ".join(f"MIN({_portable_hash_sql('shingle', j)}) AS h{j}" for j in range(8))
+    + ", ".join(f"MIN({_minhash_perm_sql(j)}) AS h{j}" for j in range(8))
     + " FROM sh GROUP BY doc_id) s ON s.doc_id = d.doc_id)"
 )
 
