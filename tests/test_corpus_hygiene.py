@@ -80,3 +80,19 @@ def test_vocab_top_ngrams_short_docs(spark):
     rows = [(0, "solo"), (1, ""), (2, "two words")]
     out = vocab_top_ngrams(_docs(spark, rows), n=2, k=10).collect()
     assert [(r["gram"], r["occurrences"]) for r in out] == [("two words", 1)]
+
+
+def test_minhash_family_matches_hashlib_replay(spark):
+    """The single-digest affine MinHash family (b1 + j*b2 over md5 halves)
+    must match an independent hashlib replay — this is the exact formula
+    the DuckDB oracles re-express in SQL (`queries._minhash_perm_sql`)."""
+    import hashlib
+
+    from graph_data_science_spark.datapipe.dedup import minhash_signatures
+
+    df = _docs(spark, [(7, "alpha beta gamma")])  # exactly one 3-shingle
+    got = minhash_signatures(df, num_perm=4).collect()[0]
+    hx = hashlib.md5(b"alpha beta gamma").hexdigest()
+    b1, b2 = int(hx[0:13], 16), int(hx[13:26], 16)
+    for j in range(4):
+        assert got[f"h{j}"] == b1 + j * b2, (j, got[f"h{j}"], b1 + j * b2)
