@@ -145,7 +145,6 @@ def decode_images(assets: DataFrame, codec: str = "fake", feat_dim: int = 8) -> 
     Any other codec (or ``pil`` without Pillow installed) raises
     NotImplementedError.
     """
-    assert 64 % feat_dim == 0, "feat_dim must divide the 64-byte prefix window"
     if codec == "pil":
         _require_pil()
         return assets.mapInPandas(_pil_decode_fn(feat_dim), DECODED_SCHEMA)
@@ -153,6 +152,9 @@ def decode_images(assets: DataFrame, codec: str = "fake", feat_dim: int = 8) -> 
         raise NotImplementedError(
             f"codec {codec!r} requires image/audio libraries not present in this environment"
         )
+    # The prefix-fold constraint is specific to the fake codec's 64-byte
+    # window; the PIL path pads to any feat_dim.
+    assert 64 % feat_dim == 0, "feat_dim must divide the 64-byte prefix window"
 
     width = 64  # fixed prefix window: pad/truncate payloads to one matrix row
 

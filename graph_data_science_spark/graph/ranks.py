@@ -96,8 +96,14 @@ def _bucketed(
     """Annotate ``df`` with a ``_rk_bucket`` int column: an
     order-monotone range bucket of the leading order column."""
     key, is_float = _monotone_key(df, order_cols[0])
+    # NaN routes to its own terminal bucket below, so exclude it from the
+    # [lo, hi] range: F.max over a float column returns NaN when any NaN
+    # is present, which would degenerate width_bucket and collapse every
+    # row into ONE bucket — the single-task straggler this module exists
+    # to prevent.
+    range_key = F.when(~F.isnan(key), key) if is_float else key
     stats = df.agg(
-        F.min(key).alias("lo"), F.max(key).alias("hi")
+        F.min(range_key).alias("lo"), F.max(range_key).alias("hi")
     ).collect()[0]
     lo, hi = stats["lo"], stats["hi"]
     if lo is None or hi is None or lo == hi:
@@ -117,76 +123,110 @@ def _bucketed(
     return df.withColumn("_rk_bucket", bucket.cast("int"))
 
 
-def _py_str(v) -> str:
-    """Match Spark's CAST(x AS STRING) for the types partition columns
-    take (booleans differ: Python 'True' vs Spark 'true')."""
-    if isinstance(v, bool):
-        return "true" if v else "false"
-    return str(v)
+def _part_key(v):
+    """Hashable driver-side grouping key for a partition value (groups NaN
+    with NaN, the way Spark's grouping does)."""
+    if isinstance(v, float) and v != v:
+        return "\x00NaN"
+    return v
 
 
 def _prefix_offsets(rows, partition_cols, value_fields) -> list[tuple]:
-    """Driver-side prefix sum of per-(partition, bucket) totals, in
-    (partition order, bucket order). ``value_fields`` is a list; returns
-    [(part_key_str, bucket, off_1, ..., off_k)] — ≤ |partition groups| ×
-    n_buckets entries, one offset per field."""
+    """Driver-side prefix sum of per-(partition, bucket) totals. Returns
+    [(part_values_tuple, bucket, off_1, ..., off_k)] — ≤ |partition
+    groups| × n_buckets entries, one offset per ``value_fields`` entry.
+    Partition values stay RAW (typed) — they are re-attached with a
+    null-safe typed join, never via stringified keys (Python and Spark
+    disagree on string spellings for floats/booleans, and concat_ws-style
+    keys conflate NULL/empty partitions)."""
     if isinstance(value_fields, str):
         value_fields = [value_fields]
     out, acc_by_part = [], {}
-    for r in sorted(
-        rows, key=lambda r: (tuple(_py_str(r[c]) for c in partition_cols), r["_rk_bucket"])
-    ):
-        part = tuple(_py_str(r[c]) for c in partition_cols)
-        accs = acc_by_part.get(part, [0] * len(value_fields))
-        out.append(("\x1f".join(part), int(r["_rk_bucket"]), *accs))
-        acc_by_part[part] = [a + (r[f] or 0) for a, f in zip(accs, value_fields)]
+    for r in sorted(rows, key=lambda r: r["_rk_bucket"]):
+        part = tuple(r[c] for c in partition_cols)
+        pk = tuple(_part_key(v) for v in part)
+        accs = acc_by_part.get(pk, [0] * len(value_fields))
+        out.append((part, int(r["_rk_bucket"]), *accs))
+        acc_by_part[pk] = [a + (r[f] or 0) for a, f in zip(accs, value_fields)]
     return out
 
 
 def _with_offset(
     b: DataFrame, offsets: list[tuple], partition_cols, off_cols: tuple[str, ...] = ("_rk_off",)
 ) -> DataFrame:
-    """Attach offset column(s) to the bucket-annotated frame: a map literal
-    for small offset tables, a broadcast equi-join above _MAP_LITERAL_MAX
-    (10^12-row inputs produce too many buckets for a literal plan node).
-    ``offsets`` rows are (part_key_str, bucket, off_1, ..., off_k) aligned
-    with ``off_cols``. Offsets may be float (fp cumsum totals) — column
-    types follow the Python values."""
+    """Attach offset column(s) to the bucket-annotated frame.
+
+    No partition columns: a bucket-keyed map literal (broadcast equi-join
+    on the bucket above _MAP_LITERAL_MAX entries — 10^12-row inputs
+    produce too many buckets for a literal plan node). With partition
+    columns: ALWAYS a null-safe broadcast join on the actual typed
+    columns — no stringification, so NULL / empty-string / NaN partition
+    values and float-vs-Python spelling differences cannot mis-key the
+    lookup. ``offsets`` rows are (part_values_tuple, bucket, off_1, ...,
+    off_k) aligned with ``off_cols``; an offset column is typed double iff
+    any of its values is fractional (fp cumsum totals)."""
     if not offsets:
         for oc in off_cols:
             b = b.withColumn(oc, F.lit(0))
         return b
-    part_key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in partition_cols])
-    if len(offsets) <= _MAP_LITERAL_MAX:
-        keys = [f"{row[0]}\x1f{row[1]}" if row[0] else str(row[1]) for row in offsets]
-        probe = (
-            F.concat_ws("\x1f", part_key, F.col("_rk_bucket").cast("string"))
-            if partition_cols
-            else F.col("_rk_bucket").cast("string")
+    is_double = [
+        any(isinstance(row[2 + i], float) for row in offsets) for i in range(len(off_cols))
+    ]
+
+    def _off_vals(row):
+        return tuple(
+            float(row[2 + i]) if is_double[i] else int(row[2 + i]) for i in range(len(off_cols))
         )
-        for i, oc in enumerate(off_cols):
-            vals = [row[2 + i] for row in offsets]
-            lookup = F.element_at(
-                F.map_from_arrays(
-                    F.array(*[F.lit(k) for k in keys]), F.array(*[F.lit(v) for v in vals])
-                ),
-                probe,
-            )
-            b = b.withColumn(oc, lookup)
-        return b
+
     spark = b.sparkSession
-    fields = ", ".join(
-        f"`{oc}` " + ("double" if isinstance(offsets[0][2 + i], float) else "long")
-        for i, oc in enumerate(off_cols)
+    if not partition_cols:
+        if len(offsets) <= _MAP_LITERAL_MAX:
+            for i, oc in enumerate(off_cols):
+                vals = [
+                    float(row[2 + i]) if is_double[i] else int(row[2 + i]) for row in offsets
+                ]
+                lookup = F.element_at(
+                    F.map_from_arrays(
+                        F.array(*[F.lit(int(row[1])) for row in offsets]),
+                        F.array(*[F.lit(v) for v in vals]),
+                    ),
+                    F.col("_rk_bucket"),
+                )
+                b = b.withColumn(oc, lookup)
+            return b
+        off_fields = ", ".join(
+            f"`{oc}` " + ("double" if is_double[i] else "long") for i, oc in enumerate(off_cols)
+        )
+        odf = spark.createDataFrame(
+            [(int(row[1]), *_off_vals(row)) for row in offsets],
+            f"_rk_bucket int, {off_fields}",
+        )
+        return b.join(F.broadcast(odf), ["_rk_bucket"], "left")
+    # Partition columns: typed null-safe broadcast join. The offsets frame
+    # reuses the parent frame's column types for the partition values.
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    from pyspark.sql.types import DoubleType, LongType
+
+    part_fields = [
+        StructField(f"_rk_pc{i}", b.schema[c].dataType, True)
+        for i, c in enumerate(partition_cols)
+    ]
+    schema = StructType(
+        part_fields
+        + [StructField("_rk_bkt", IntegerType(), False)]
+        + [
+            StructField(oc, DoubleType() if is_double[i] else LongType(), False)
+            for i, oc in enumerate(off_cols)
+        ]
     )
     odf = spark.createDataFrame(
-        [tuple(row) for row in offsets],
-        f"_rk_part string, _rk_bucket int, {fields}",
+        [(*row[0], int(row[1]), *_off_vals(row)) for row in offsets], schema
     )
-    joined = b.withColumn("_rk_part", part_key).join(
-        F.broadcast(odf), ["_rk_part", "_rk_bucket"], "left"
-    )
-    return joined.drop("_rk_part")
+    cond = b["_rk_bucket"] == odf["_rk_bkt"]
+    for i, c in enumerate(partition_cols):
+        cond = cond & b[c].eqNullSafe(odf[f"_rk_pc{i}"])
+    joined = b.join(F.broadcast(odf), cond, "left")
+    return joined.drop("_rk_bkt", *[f"_rk_pc{i}" for i in range(len(partition_cols))])
 
 
 def _resolve_buckets(df: DataFrame, n_buckets: int | None, n_rows: int | None) -> int:

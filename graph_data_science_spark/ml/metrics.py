@@ -169,31 +169,41 @@ def _aucpr_from_curve(df, agg, lbl, negative_class_weight):
         return 0.0
     from graph_data_science_spark.graph.ranks import ordered_scan
 
-    curve = ordered_scan(
-        agg.withColumn("_negthr", -F.col("thr")),
-        ["_negthr"],
-        {"pos": "tp", "neg": "fp"},
-        rank_col="_k",
-        n_buckets=None,
-    )
-    pts = curve.select(
-        "_k",
-        (F.col("tp") / F.lit(float(p_count))).alias("recall"),
-        (
-            F.col("tp")
-            / (F.col("tp") + F.lit(float(negative_class_weight)) * F.col("fp"))
-        ).alias("precision"),
-    )
-    prev = pts.select(
-        (F.col("_k") + 1).alias("_k"), F.col("recall").alias("r0"), F.col("precision").alias("p0")
-    )
-    tz = pts.join(prev, "_k", "left").select(
-        "recall",
-        "precision",
-        F.coalesce(F.col("r0"), F.lit(0.0)).alias("r0"),
-        F.coalesce(F.col("p0"), F.lit(1.0)).alias("p0"),
-    )
-    area = tz.agg(
-        F.sum((F.col("recall") - F.col("r0")) * (F.col("precision") + F.col("p0")) / 2.0)
-    ).collect()[0][0]
+    # The scan + area run several actions over the curve frame (bucket
+    # sizing count, range agg, bucket totals, final area) — persist it so
+    # the distinct-threshold groupBy over the scored input runs ONCE, not
+    # once per action (aucpr runs per fold per candidate in CV selection).
+    agg = agg.withColumn("_negthr", -F.col("thr")).persist()
+    try:
+        curve = ordered_scan(
+            agg,
+            ["_negthr"],
+            {"pos": "tp", "neg": "fp"},
+            rank_col="_k",
+            n_buckets=None,
+        )
+        pts = curve.select(
+            "_k",
+            (F.col("tp") / F.lit(float(p_count))).alias("recall"),
+            (
+                F.col("tp")
+                / (F.col("tp") + F.lit(float(negative_class_weight)) * F.col("fp"))
+            ).alias("precision"),
+        )
+        prev = pts.select(
+            (F.col("_k") + 1).alias("_k"),
+            F.col("recall").alias("r0"),
+            F.col("precision").alias("p0"),
+        )
+        tz = pts.join(prev, "_k", "left").select(
+            "recall",
+            "precision",
+            F.coalesce(F.col("r0"), F.lit(0.0)).alias("r0"),
+            F.coalesce(F.col("p0"), F.lit(1.0)).alias("p0"),
+        )
+        area = tz.agg(
+            F.sum((F.col("recall") - F.col("r0")) * (F.col("precision") + F.col("p0")) / 2.0)
+        ).collect()[0][0]
+    finally:
+        agg.unpersist()
     return float(area or 0.0)

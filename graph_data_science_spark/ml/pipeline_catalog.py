@@ -109,9 +109,21 @@ class TrainingPipeline:
                 if not is_range(v):
                     continue
                 lo, hi = v["range"]
-                if isinstance(lo, int) and isinstance(hi, int):
+                if lo == hi:
+                    # degenerate range: deterministic (the reference's
+                    # random.nextInt(min, max) rejects min >= max outright;
+                    # accepting the point value is strictly more useful and
+                    # cannot disagree with it on any input it accepts)
+                    cfg[k] = lo
+                elif isinstance(lo, int) and isinstance(hi, int):
+                    # exclusive upper bound — Java nextInt(origin, bound)
+                    # parity (RandomSearch.java:96)
                     cfg[k] = rng.randrange(lo, hi)
                 elif k in self._LOG_SCALE:
+                    if float(hi) <= 0.0:
+                        raise ValueError(
+                            f"log-scale range for {k!r} needs max > 0, got {v['range']}"
+                        )
                     lo_l = math.log(max(float(lo), 1e-20))
                     cfg[k] = math.exp(lo_l + rng.random() * (math.log(float(hi)) - lo_l))
                 else:

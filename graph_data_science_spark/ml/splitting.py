@@ -312,24 +312,24 @@ def stratified_kfold_split(
         raise ValueError("k must be >= 2")
     ties = [c for c in df.columns if c not in (target_col, order_col)]
     cls_rows = df.groupBy(target_col).agg(F.count("*").alias("_n")).collect()
-    # sorted class order: Python's sort matches Spark's for numerics and
-    # for strings (UTF-8 bytewise == code-point order)
-    from graph_data_science_spark.graph.ranks import _py_str
+
+    # sorted class order (Python's sort matches Spark's for numerics and
+    # for strings — UTF-8 bytewise == code-point order). NULL/NaN labels
+    # sort first/last deterministically instead of raising (the reference
+    # can't see them — its class set is a long-id map — so any stable
+    # order preserves its semantics for the labels it accepts).
+    def _cls_key(r):
+        v = r[target_col]
+        if v is None:
+            return (0, 0, "")
+        if isinstance(v, float) and v != v:
+            return (2, 0, "")
+        return (1, v, "") if not isinstance(v, str) else (1, 0, v)
 
     offsets, acc = [], 0
-    for r in sorted(cls_rows, key=lambda r: r[target_col]):
+    for r in sorted(cls_rows, key=_cls_key):
         offsets.append((r[target_col], acc))
         acc += r["_n"]
-    if offsets:
-        off_col = F.element_at(
-            F.map_from_arrays(
-                F.array(*[F.lit(_py_str(v)) for v, _ in offsets]),
-                F.array(*[F.lit(o) for _, o in offsets]),
-            ),
-            F.col(target_col).cast("string"),
-        )
-    else:
-        off_col = F.lit(0)
     ranked = ordered_rank(
         df,
         [order_col] + ties,
@@ -338,7 +338,26 @@ def stratified_kfold_split(
         n_buckets=None,
         n_rows=acc,
     )
-    return (
-        ranked.withColumn("fold", ((F.col("_wr") + off_col) % k).cast("int"))
-        .drop("_wr")
-    )
+    if offsets:
+        # typed null-safe broadcast join — string-keyed maps mis-spell
+        # floats (Python '1e+20' vs Spark '1.0E20') and drop NULL labels
+        spark = df.sparkSession
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        odf = spark.createDataFrame(
+            offsets,
+            StructType(
+                [
+                    StructField("_kf_cls", df.schema[target_col].dataType, True),
+                    StructField("_kf_off", LongType(), False),
+                ]
+            ),
+        )
+        ranked = ranked.join(
+            F.broadcast(odf), ranked[target_col].eqNullSafe(odf["_kf_cls"]), "left"
+        ).drop("_kf_cls")
+        off_col = F.col("_kf_off")
+    else:
+        off_col = F.lit(0)
+    out = ranked.withColumn("fold", ((F.col("_wr") + off_col) % k).cast("int")).drop("_wr")
+    return out.drop("_kf_off") if offsets else out

@@ -345,8 +345,11 @@ class SuperstepLoop:
 _ROUNDTRIP_BASE: str | None = None
 _ROUNDTRIP_FALLBACK: str | None = None
 _ROUNDTRIP_SEQ = 0
-# seq -> (tag, path, bytes) of every live round-trip file, in creation order.
-_ROUNDTRIP_ENTRIES: dict[int, tuple[str, str, int]] = {}
+# seq -> (tag, path, bytes, on_tmpfs) of every live round-trip file, in
+# creation order. _ROUNDTRIP_LIVE_BYTES counts ONLY tmpfs-resident files:
+# spilled disk-fallback files must not pin the budget, or one overshoot
+# would route every future write to disk even after the tmpfs empties.
+_ROUNDTRIP_ENTRIES: dict[int, tuple[str, str, int, bool]] = {}
 _ROUNDTRIP_LIVE_BYTES = 0
 _ROUNDTRIP_BUDGET: int | None = None
 _ROUNDTRIP_SPILLED = False
@@ -367,7 +370,8 @@ def _free_roundtrip_entry(seq: int) -> None:
     global _ROUNDTRIP_LIVE_BYTES
     entry = _ROUNDTRIP_ENTRIES.pop(seq, None)
     if entry is not None:
-        _ROUNDTRIP_LIVE_BYTES -= entry[2]
+        if entry[3]:
+            _ROUNDTRIP_LIVE_BYTES -= entry[2]
         shutil.rmtree(entry[1], ignore_errors=True)
 
 
@@ -491,10 +495,12 @@ def materialize_roundtrip(df: DataFrame, tag: str = "state", keep_last: int | No
     path = os.path.join(base, f"{tag}_{_ROUNDTRIP_SEQ:06d}")
     df.write.mode("overwrite").parquet(path)
     nbytes = _dir_bytes(path)
-    _ROUNDTRIP_ENTRIES[_ROUNDTRIP_SEQ] = (tag, path, nbytes)
-    _ROUNDTRIP_LIVE_BYTES += nbytes
+    on_tmpfs = base is _ROUNDTRIP_BASE
+    _ROUNDTRIP_ENTRIES[_ROUNDTRIP_SEQ] = (tag, path, nbytes, on_tmpfs)
+    if on_tmpfs:
+        _ROUNDTRIP_LIVE_BYTES += nbytes
     if keep_last is not None:
-        same_tag = [s for s, (t, _p, _b) in _ROUNDTRIP_ENTRIES.items() if t == tag]
+        same_tag = [s for s, e in _ROUNDTRIP_ENTRIES.items() if e[0] == tag]
         for seq in sorted(same_tag)[:-keep_last]:
             _free_roundtrip_entry(seq)
     out = df.sparkSession.read.parquet(path)

@@ -237,3 +237,30 @@ def test_param_alias_is_method_scoped():
     assert mlp == {"penalty": 0.1, "hidden_layer_sizes": (8,)}
     rf = _normalize_params({"method": "RandomForest", "numberOfDecisionTrees": 5, "maxDepth": 3}, "RandomForest")
     assert rf == {"number_of_trees": 5, "max_depth": 3}
+
+
+def test_auto_tuning_degenerate_and_invalid_ranges():
+    """[x, x] ranges resolve deterministically to x (the reference's
+    random.nextInt(min, max) rejects them outright); a log-scale range
+    with max <= 0 raises a clear error instead of NaN."""
+    import pytest
+
+    from graph_data_science_spark.ml.pipeline_catalog import NodeClassificationPipeline
+
+    p = NodeClassificationPipeline("deg-ranges")
+    p.add_random_forest(max_depth={"range": [5, 5]}, number_of_trees=3)
+    p.configure_auto_tuning(max_trials=3)
+    cands = p._candidates(seed=1)
+    assert all(c["max_depth"] == 5 for c in cands if "max_depth" in c)
+
+    p2 = NodeClassificationPipeline("bad-log-range")
+    p2.add_logistic_regression(penalty={"range": [0.0, 0.0]})
+    p2.configure_auto_tuning(max_trials=2)
+    cands2 = p2._candidates(seed=1)
+    assert all(c["penalty"] == 0.0 for c in cands2 if "penalty" in c)
+
+    p3 = NodeClassificationPipeline("neg-log-range")
+    p3.add_logistic_regression(penalty={"range": [0.0, -1.0]})
+    p3.configure_auto_tuning(max_trials=2)
+    with pytest.raises(ValueError, match="log-scale"):
+        p3._candidates(seed=1)

@@ -272,3 +272,104 @@ def test_aucpr_no_single_partition_window(spark):
         n_buckets=8,
     )
     assert "SinglePartition" not in _physical(curve), _physical(curve)
+
+
+# --- regression tests: r4 self-review findings (typed offset attach) ---
+
+
+def test_rank_partitioned_empty_and_null_classes(spark):
+    """Empty-string and NULL partition values must rank correctly (the
+    string-keyed offset map conflated/dropped them; now a typed
+    null-safe join)."""
+    rows = [("", i) for i in range(10)] + [(None, i) for i in range(7)] + [
+        ("x", i) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "cls string, k long")
+    got = ordered_rank(df, ["k"], rank_col="_r", partition_cols=("cls",), n_buckets=4)
+    exp = _naive_rank(df, ["k"], partition_cols=("cls",))
+    bad = (
+        got.join(exp, [got["cls"].eqNullSafe(exp["cls"]), got["k"] == exp["k"]])
+        .filter(F.col("_r").isNull() | (F.col("_r") != F.col("_exp")))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_rank_two_partition_cols_null_no_conflation(spark):
+    """(None, 'x') and ('x', None) are DIFFERENT partitions — concat_ws
+    skipped NULLs and conflated them; the typed join must not."""
+    rows = [(None, "x", i) for i in range(6)] + [("x", None, i) for i in range(9)]
+    df = spark.createDataFrame(rows, "a string, b string, k long")
+    got = ordered_rank(df, ["k"], rank_col="_r", partition_cols=("a", "b"), n_buckets=4)
+    # each partition independently ranked 0..n-1
+    mx = {
+        (r["a"], r["b"]): r["m"]
+        for r in got.groupBy("a", "b").agg(F.max("_r").alias("m")).collect()
+    }
+    assert mx[(None, "x")] == 5 and mx[("x", None)] == 8, mx
+    assert got.filter(F.col("_r").isNull()).count() == 0
+
+
+def test_rank_float_partition_extreme_spelling(spark):
+    """Float class labels like 1e20 spell differently in Python and Spark
+    ('1e+20' vs '1.0E20') — string-keyed offsets silently missed them."""
+    rows = [(1e20, i) for i in range(8)] + [(0.5, i) for i in range(4)]
+    df = spark.createDataFrame(rows, "cls double, k long")
+    got = ordered_rank(df, ["k"], rank_col="_r", partition_cols=("cls",), n_buckets=4)
+    assert got.filter(F.col("_r").isNull()).count() == 0
+    exp = _naive_rank(df, ["k"], partition_cols=("cls",))
+    assert got.join(exp, ["cls", "k"]).filter(F.col("_r") != F.col("_exp")).count() == 0
+
+
+def test_cumsum_float_broadcast_fallback(spark, monkeypatch):
+    """Float cumsum offsets through the broadcast-join path: the offset
+    column must type as double (the old path typed from offsets[0],
+    always int 0, and crashed createDataFrame)."""
+    from graph_data_science_spark.graph import ranks
+
+    monkeypatch.setattr(ranks, "_MAP_LITERAL_MAX", 2)
+    df = spark.range(500).select(
+        ((F.col("id") * 48271) % 997).alias("k"),
+        (F.col("id") % 7 / 2.0).alias("v"),
+    )
+    got = ranks.ordered_cumsum(df, ["k"], "v", cum_col="_c", n_buckets=8)
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    exp = df.withColumn("_exp", F.sum("v").over(w))
+    import math
+
+    pairs = (
+        got.join(exp, ["k", "v"]).select("_c", "_exp").collect()
+    )
+    assert all(math.isclose(r["_c"], r["_exp"], rel_tol=1e-9) for r in pairs)
+
+
+def test_nan_order_value_does_not_collapse_buckets(spark):
+    """A NaN in a float order column must not poison the [lo, hi] range —
+    pre-fix, F.max returned NaN and every row fell into ONE bucket
+    (the single-task straggler)."""
+    from graph_data_science_spark.graph.ranks import _bucketed
+
+    df = spark.range(1000).select(
+        (F.col("id").cast("double") % 97).alias("k")
+    ).union(spark.createDataFrame([(float("nan"),)], "k double"))
+    b = _bucketed(df, ["k"], (), 16)
+    n_buckets_used = b.select("_rk_bucket").distinct().count()
+    assert n_buckets_used > 8, n_buckets_used
+    # and ranks stay correct, NaN last (Spark orders NaN greatest)
+    got = ordered_rank(df, ["k"], rank_col="_r", n_buckets=16)
+    top = got.orderBy(F.desc("_r")).first()
+    assert top["_r"] == 1000 and top["k"] != top["k"]  # NaN row ranks last
+
+
+def test_kfold_null_and_float_labels(spark):
+    """NULL class labels must not crash the driver-side class sort, and
+    extreme float labels must still receive folds (no NULL folds)."""
+    from graph_data_science_spark.ml.splitting import stratified_kfold_split
+
+    rows = [(i, None if i % 5 == 0 else (1e20 if i % 2 == 0 else 0.5)) for i in range(60)]
+    df = spark.createDataFrame(rows, "nid long, lbl double")
+    folded = stratified_kfold_split(df, 3, "lbl", "nid")
+    assert folded.filter(F.col("fold").isNull()).count() == 0
+    assert folded.count() == 60
+    sizes = [r["c"] for r in folded.groupBy("fold").agg(F.count("*").alias("c")).collect()]
+    assert sum(sizes) == 60 and len(sizes) == 3

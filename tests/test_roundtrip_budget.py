@@ -30,9 +30,31 @@ def test_budget_exceeded_spills_to_fallback(spark, monkeypatch):
     )
     c = ss.materialize_roundtrip(df, tag="budget_test", keep_last=1)
     assert c._roundtrip_path.startswith(ss._ROUNDTRIP_BASE)
-    seqs = [s for s, (t, _p, _b) in ss._ROUNDTRIP_ENTRIES.items() if t == "budget_test"]
+    seqs = [s for s, e in ss._ROUNDTRIP_ENTRIES.items() if e[0] == "budget_test"]
     assert len(seqs) == 1
     before = ss._ROUNDTRIP_LIVE_BYTES
-    for s in seqs + [s for s, (t, _p, _b) in ss._ROUNDTRIP_ENTRIES.items() if t == "budget_seed"]:
+    for s in seqs + [s for s, e in ss._ROUNDTRIP_ENTRIES.items() if e[0] == "budget_seed"]:
         ss._free_roundtrip_entry(s)
     assert ss._ROUNDTRIP_LIVE_BYTES < before
+
+
+def test_spilled_files_do_not_pin_budget(spark, monkeypatch):
+    """Disk-fallback files must NOT count against the tmpfs budget: after
+    the tmpfs entries are freed, new writes return to tmpfs even while
+    large spilled files are still live (pre-fix, one overshoot routed
+    every future write to disk forever)."""
+    df = spark.range(500)
+    a = ss.materialize_roundtrip(df, tag="pin_seed")
+    assert a._roundtrip_path.startswith(ss._ROUNDTRIP_BASE)
+    live_mb = ss._ROUNDTRIP_LIVE_BYTES / 1e6
+    monkeypatch.setenv("SPARK_GRAFT_RT_BUDGET_MB", str(live_mb / 2 + 1e-4))
+    spilled = ss.materialize_roundtrip(df, tag="pin_spill")
+    assert spilled._roundtrip_path.startswith(ss._ROUNDTRIP_FALLBACK)
+    # free every tmpfs-resident entry; the spilled entry stays live
+    for s2 in [s for s, e in list(ss._ROUNDTRIP_ENTRIES.items()) if e[3]]:
+        ss._free_roundtrip_entry(s2)
+    assert ss._ROUNDTRIP_LIVE_BYTES == 0
+    back = ss.materialize_roundtrip(df, tag="pin_back")
+    assert back._roundtrip_path.startswith(ss._ROUNDTRIP_BASE), back._roundtrip_path
+    for s2 in [s for s, e in list(ss._ROUNDTRIP_ENTRIES.items()) if e[0].startswith("pin_")]:
+        ss._free_roundtrip_entry(s2)
