@@ -152,9 +152,19 @@ def split_relationships(
     valid_count = valid.count()
     n_selected = int(valid_count * holdout_fraction)
 
-    # Distributed top-k (TakeOrderedAndProject), NOT a global row_number
-    # window — a single-partition sort would bottleneck at 100 TB.
-    positives = valid.orderBy("_h", "src", "dst").limit(n_selected).persist()
+    # Exact-count selection of the n_selected smallest (_h, src, dst)
+    # rows. NOT orderBy().limit(): Spark plans that as
+    # TakeOrderedAndProject, whose finishing step holds ALL `limit` rows
+    # in one task — and n_selected is data-proportional (holdoutFraction
+    # × |E|), so at 100 TB that single task is the job. The bucketed
+    # order-preserving rank (graph/ranks.py) gives the identical
+    # selection with per-task work bounded by the rank bucket size.
+    positives = (
+        ordered_rank(valid, ["_h", "src", "dst"], rank_col="_hr", n_buckets=None, n_rows=valid_count)
+        .filter(F.col("_hr") < n_selected)
+        .drop("_hr")
+        .persist()
+    )
     selected_pos = positives.select(
         F.when(F.col("_flip"), F.col("dst")).otherwise(F.col("src")).alias("src"),
         F.when(F.col("_flip"), F.col("src")).otherwise(F.col("dst")).alias("dst"),
