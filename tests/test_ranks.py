@@ -123,6 +123,40 @@ def test_negative_sample_plan_distributed(spark):
     assert out.count() > 0
 
 
+def test_split_relationships_positives_not_take_ordered(spark):
+    """Holdout positives are an exact-count selection of the hash-smallest
+    edges; n_selected is data-proportional, so the plan must not be
+    TakeOrderedAndProject (its finishing step holds ALL limit rows in one
+    task). The bucketed rank path must also match the naive
+    orderBy().limit() selection exactly."""
+    from graph_data_science_spark.graph.build import LinkGraph
+    from graph_data_science_spark.ml.splitting import _hash, split_relationships
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 200) for i in range(200) if i != (i * 7 + 1) % 200],
+        "src long, dst long",
+    ).withColumn("weight", F.lit(1.0))
+    g = LinkGraph(edges=edges)
+    sp = split_relationships(g, holdout_fraction=0.4, negative_sampling_ratio=0.0,
+                             random_seed=13)
+    plan = _physical(sp.selected)
+    assert "TakeOrderedAndProject" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+    pos = sp.selected.filter(F.col("label") == 1.0).select("src", "dst")
+    n_sel = sp.selected_positive_count
+    naive = (
+        edges.select("src", "dst")
+        .withColumn("_h", _hash(13, F.col("src"), F.col("dst")))
+        .orderBy("_h", "src", "dst")
+        .limit(n_sel)
+        .select("src", "dst")
+    )
+    assert pos.count() == n_sel
+    assert pos.exceptAll(naive).count() == 0
+    assert naive.exceptAll(pos).count() == 0
+
+
 def test_rank_partitioned_boolean_classes(spark):
     """Boolean partition columns: Python stringifies True/False while Spark
     casts to true/false — the offsets map must match Spark's spelling."""
