@@ -764,6 +764,7 @@ def _merge_ext() -> None:
         queries_ext20,
         queries_ext21,
         queries_ext22,
+        queries_ext23,
     )
 
     for mod, qname, oname in (
@@ -789,6 +790,7 @@ def _merge_ext() -> None:
         (queries_ext20, "QUERIES_EXT20", "ORACLES_EXT20"),
         (queries_ext21, "QUERIES_EXT21", "ORACLES_EXT21"),
         (queries_ext22, "QUERIES_EXT22", "ORACLES_EXT22"),
+        (queries_ext23, "QUERIES_EXT23", "ORACLES_EXT23"),
     ):
         # When an ext module is imported FIRST (tools/tests), it imports this
         # module, whose end-of-module merge then sees the ext module only
