@@ -120,11 +120,12 @@ def node2vec(
     # dense position hash(seed, center, context, r) mod n.
     nodes = graph.node_ids().select(F.col("node_id").alias("node"))
     n = nodes.count()
-    from pyspark.sql import Window as _W
+    # The draw only needs a deterministic bijection node ↔ [0, n) — NOT the
+    # lexicographic rank — so reuse the bucketed dense-id map instead of a
+    # row_number() over a partition-less window (single-task at O(V)).
+    from graph_data_science_spark.graph.ids import dense_ids
 
-    idx = nodes.select(
-        "node", (F.row_number().over(_W.orderBy("node")) - 1).alias("pos")
-    )
+    idx = dense_ids(nodes, ["node"]).select("node", F.col("node_id").alias("pos"))
     reps = spark.range(negative_samples).select(F.col("id").alias("_r"))
     # each positive OCCURRENCE draws its own negatives — (walk_id, s1, s2)
     # distinguishes repeats of the same pair, so the negative distribution

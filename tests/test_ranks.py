@@ -407,3 +407,16 @@ def test_kfold_null_and_float_labels(spark):
     assert folded.count() == 60
     sizes = [r["c"] for r in folded.groupBy("fold").agg(F.count("*").alias("c")).collect()]
     assert sum(sizes) == 60 and len(sizes) == 3
+
+
+def test_node2vec_position_map_plan_distributed(spark):
+    """node2vec's negative-sampling position map rides dense_ids (bucketed),
+    not a partition-less row_number window."""
+    from graph_data_science_spark.graph.ids import dense_ids
+
+    nodes = spark.range(200).select(F.col("id").alias("node"))
+    idx = dense_ids(nodes, ["node"]).select("node", F.col("node_id").alias("pos"))
+    assert "SinglePartition" not in _physical(idx), _physical(idx)
+    # bijection onto [0, n)
+    got = sorted(r["pos"] for r in idx.collect())
+    assert got == list(range(200))
