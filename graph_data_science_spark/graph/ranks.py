@@ -96,12 +96,15 @@ def _bucketed(
     """Annotate ``df`` with a ``_rk_bucket`` int column: an
     order-monotone range bucket of the leading order column."""
     key, is_float = _monotone_key(df, order_cols[0])
-    # NaN routes to its own terminal bucket below, so exclude it from the
-    # [lo, hi] range: F.max over a float column returns NaN when any NaN
-    # is present, which would degenerate width_bucket and collapse every
-    # row into ONE bucket — the single-task straggler this module exists
-    # to prevent.
-    range_key = F.when(~F.isnan(key), key) if is_float else key
+    # NaN and ±Infinity route to their own edge buckets below, so exclude
+    # them from the [lo, hi] range: F.max over a float column returns NaN
+    # when any NaN is present, and an infinite bound makes every
+    # width_bucket width infinite — either way every row collapses into
+    # ONE bucket, the single-task straggler this module exists to prevent.
+    _pinf, _ninf = F.lit(float("inf")), F.lit(float("-inf"))
+    range_key = (
+        F.when(~F.isnan(key) & (key != _pinf) & (key != _ninf), key) if is_float else key
+    )
     stats = df.agg(
         F.min(range_key).alias("lo"), F.max(range_key).alias("hi")
     ).collect()[0]
@@ -111,15 +114,25 @@ def _bucketed(
         bucket = F.lit(1)
     else:
         # width_bucket(x, lo, hi, n) ∈ [1, n] for x ∈ [lo, hi); x == hi
-        # falls in n+1 — fold it back. Nulls (ordered first) → 0; NaN
-        # (ordered last) → n+2.
-        bucket = F.least(
-            F.width_bucket(key, F.lit(float(lo)), F.lit(float(hi)), F.lit(n_buckets)),
-            F.lit(n_buckets),
-        )
+        # falls in n+1 — fold it back. NOT F.least(wb, n): least SKIPS
+        # nulls, so a NULL key would map to bucket n (mid-sequence) instead
+        # of propagating to the coalesce below. Nulls (ordered first) → 0;
+        # NaN (ordered last) → n+2.
+        wb = F.width_bucket(key, F.lit(float(lo)), F.lit(float(hi)), F.lit(n_buckets))
+        bucket = F.when(wb > F.lit(n_buckets), F.lit(n_buckets)).otherwise(wb)
     bucket = F.coalesce(bucket, F.lit(0))
     if is_float:
-        bucket = F.when(F.isnan(F.col(order_cols[0])), F.lit(n_buckets + 2)).otherwise(bucket)
+        # Edge buckets in global order: NULL (0, nulls-first) ≤ -Inf (0 —
+        # shares the null bucket; the within-bucket window orders nulls
+        # before -Inf) < finite [1, n] < +Inf (n+1) < NaN (n+2, Spark
+        # orders NaN greatest).
+        c0 = F.col(order_cols[0])
+        bucket = (
+            F.when(F.isnan(c0), F.lit(n_buckets + 2))
+            .when(c0 == _pinf, F.lit(n_buckets + 1))
+            .when(c0 == _ninf, F.lit(0))
+            .otherwise(bucket)
+        )
     return df.withColumn("_rk_bucket", bucket.cast("int"))
 
 

@@ -420,3 +420,27 @@ def test_node2vec_position_map_plan_distributed(spark):
     # bijection onto [0, n)
     got = sorted(r["pos"] for r in idx.collect())
     assert got == list(range(200))
+
+
+def test_infinity_order_values_do_not_collapse_buckets(spark):
+    """±Infinity in the order column must not poison the width_bucket
+    range (an infinite bound makes every bucket width infinite → ONE
+    bucket) and must rank in float order: NULL < -Inf < finite < +Inf < NaN."""
+    from graph_data_science_spark.graph.ranks import _bucketed, ordered_rank
+
+    inf, nan = float("inf"), float("nan")
+    rows = [(float(i),) for i in range(1000)] + [(inf,), (-inf,), (None,), (nan,)]
+    df = spark.createDataFrame(rows, "k double")
+    b = _bucketed(df, ["k"], (), 16)
+    finite_buckets = (
+        b.filter(~F.isnan("k") & F.col("k").isNotNull() & (F.abs("k") != inf))
+        .select("_rk_bucket").distinct().count()
+    )
+    assert finite_buckets > 8, finite_buckets
+    got = ordered_rank(df, ["k"], rank_col="_r", n_buckets=16)
+    by_rank = {r["_r"]: r["k"] for r in got.collect()}
+    assert by_rank[0] is None                      # nulls first
+    assert by_rank[1] == -inf
+    assert [by_rank[i] for i in range(2, 1002)] == [float(i) for i in range(1000)]
+    assert by_rank[1002] == inf
+    assert by_rank[1003] != by_rank[1003]          # NaN last
