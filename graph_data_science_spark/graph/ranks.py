@@ -125,12 +125,14 @@ def _bucketed(
         # Edge buckets in global order: NULL (0, nulls-first) ≤ -Inf (0 —
         # shares the null bucket; the within-bucket window orders nulls
         # before -Inf) < finite [1, n] < +Inf (n+1) < NaN (n+2, Spark
-        # orders NaN greatest).
+        # orders NaN greatest). NULL is routed explicitly because the
+        # degenerate lo==hi/all-null branch above assigns bucket 1, which
+        # would rank NULLs after a -Inf row.
         c0 = F.col(order_cols[0])
         bucket = (
             F.when(F.isnan(c0), F.lit(n_buckets + 2))
             .when(c0 == _pinf, F.lit(n_buckets + 1))
-            .when(c0 == _ninf, F.lit(0))
+            .when(c0.isNull() | (c0 == _ninf), F.lit(0))
             .otherwise(bucket)
         )
     return df.withColumn("_rk_bucket", bucket.cast("int"))

@@ -188,3 +188,66 @@ def test_pack_sequences_matches_prefix_sum_model(spark, docs, budget, n_buckets)
                 n_buckets,
             )
             prefix += docs[d]
+
+
+# --------------------------------------------------------------------------
+# ordered_rank / ordered_scan vs the naive single-partition window, over
+# adversarial float keys: NULL, NaN, ±Infinity, heavy duplicates. The
+# Python model replays Spark's total order (NULL < -Inf < finite < +Inf
+# < NaN) and the bucketed implementation must agree rank-for-rank.
+# --------------------------------------------------------------------------
+
+_float_keys = st.lists(
+    st.one_of(
+        st.none(),
+        st.sampled_from([float("nan"), float("inf"), float("-inf"), 0.0, 1.0]),
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _spark_key(v):
+    # Spark total order for double asc: NULL first, NaN greatest.
+    if v is None:
+        return (0, 0.0)
+    if isinstance(v, float) and v != v:
+        return (2, 0.0)
+    return (1, v)
+
+
+@SETTINGS
+@given(keys=_float_keys)
+def test_ordered_rank_matches_model_adversarial_floats(spark, keys):
+    from graph_data_science_spark.graph.ranks import ordered_rank
+
+    rows = [(i, v) for i, v in enumerate(keys)]
+    df = spark.createDataFrame(rows, "i long, k double")
+    got = {
+        r["i"]: r["_r"]
+        for r in ordered_rank(df, ["k", "i"], rank_col="_r", n_buckets=7).collect()
+    }
+    expect = {
+        i: pos
+        for pos, (i, _) in enumerate(
+            sorted(rows, key=lambda t: (_spark_key(t[1]), t[0]))
+        )
+    }
+    assert got == expect
+
+
+@SETTINGS
+@given(keys=_float_keys)
+def test_ordered_scan_cumsum_matches_model_adversarial_floats(spark, keys):
+    from graph_data_science_spark.graph.ranks import ordered_scan
+
+    rows = [(i, v, 1) for i, v in enumerate(keys)]
+    df = spark.createDataFrame(rows, "i long, k double, one int")
+    got = {
+        r["i"]: r["_c"]
+        for r in ordered_scan(df, ["k", "i"], {"one": "_c"}, n_buckets=5).collect()
+    }
+    order = sorted(rows, key=lambda t: (_spark_key(t[1]), t[0]))
+    expect = {t[0]: pos + 1 for pos, t in enumerate(order)}
+    assert got == expect
