@@ -107,24 +107,22 @@ def cosine_topk_gemm(
             V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["cv"]])
             Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
             S = Qn @ Vn.T  # |queries| × |batch|
-            # mask self-matches, then take the batch-local top-k per query
-            for qi in range(len(q_ids)):
-                s = S[qi]
-                mask = ids == q_ids[qi]
-                if mask.any():
-                    s = s.copy()
-                    s[mask] = -np.inf
-                kk = min(k, len(s))
-                idx = np.argpartition(-s, kk - 1)[:kk]
-                keep = idx[np.isfinite(s[idx])]
-                if len(keep):
-                    yield pd.DataFrame(
-                        {
-                            "query_id": np.full(len(keep), q_ids[qi], dtype=np.int64),
-                            "neighbor_id": ids[keep],
-                            "sim": s[keep],
-                        }
-                    )
+            # mask self-matches and take the batch-local top-k — all queries
+            # at once (axis-wise argpartition; a per-query Python loop costs
+            # |Q| interpreter iterations per batch at |Q| up to 100k)
+            S[ids[None, :] == q_ids[:, None]] = -np.inf
+            kk = min(k, S.shape[1])
+            idx = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+            sims = np.take_along_axis(S, idx, axis=1)
+            keep = np.isfinite(sims)
+            if keep.any():
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.broadcast_to(q_ids[:, None], idx.shape)[keep],
+                        "neighbor_id": ids[idx][keep],
+                        "sim": sims[keep],
+                    }
+                )
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
