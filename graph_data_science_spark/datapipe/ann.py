@@ -100,6 +100,16 @@ def cosine_topk_gemm(
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
 
     def local_topk(batches):
+        # Per-QUERY loop by measurement, not accident: axis-wise
+        # vectorization of the mask/top-k allocates full |Q|×|batch|
+        # temporaries next to the score matrix (argpartition returns the
+        # complete index permutation; the boolean self-mask and -S negation
+        # are full copies too), and at 32 concurrent tasks that memory
+        # pressure costs 1.2×-9× wall vs this loop, whose per-query
+        # slices stay cache-resident (A/B recorded in
+        # bench_experiments/gemm_kernel_ab.json: loop 16.9 s vs 19.9 s
+        # lean-vectorized vs 182.7 s naive-vectorized at 20k×200k).
+        # The GEMM line below is the flops; the loop is bookkeeping.
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -107,22 +117,23 @@ def cosine_topk_gemm(
             V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["cv"]])
             Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
             S = Qn @ Vn.T  # |queries| × |batch|
-            # mask self-matches and take the batch-local top-k — all queries
-            # at once (axis-wise argpartition; a per-query Python loop costs
-            # |Q| interpreter iterations per batch at |Q| up to 100k)
-            S[ids[None, :] == q_ids[:, None]] = -np.inf
-            kk = min(k, S.shape[1])
-            idx = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
-            sims = np.take_along_axis(S, idx, axis=1)
-            keep = np.isfinite(sims)
-            if keep.any():
-                yield pd.DataFrame(
-                    {
-                        "query_id": np.broadcast_to(q_ids[:, None], idx.shape)[keep],
-                        "neighbor_id": ids[idx][keep],
-                        "sim": sims[keep],
-                    }
-                )
+            for qi in range(len(q_ids)):
+                s = S[qi]
+                mask = ids == q_ids[qi]
+                if mask.any():
+                    s = s.copy()
+                    s[mask] = -np.inf
+                kk = min(k, len(s))
+                idx = np.argpartition(-s, kk - 1)[:kk]
+                keep = idx[np.isfinite(s[idx])]
+                if len(keep):
+                    yield pd.DataFrame(
+                        {
+                            "query_id": np.full(len(keep), q_ids[qi], dtype=np.int64),
+                            "neighbor_id": ids[keep],
+                            "sim": s[keep],
+                        }
+                    )
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
