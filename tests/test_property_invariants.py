@@ -251,3 +251,67 @@ def test_ordered_scan_cumsum_matches_model_adversarial_floats(spark, keys):
     order = sorted(rows, key=lambda t: (_spark_key(t[1]), t[0]))
     expect = {t[0]: pos + 1 for pos, t in enumerate(order)}
     assert got == expect
+
+
+# --------------------------------------------------------------------------
+# SSSP differential: frontier Bellman-Ford and bucketed delta-stepping (at
+# a small, a medium, and an effectively-infinite Δ) must both match a
+# pure-Python Dijkstra on arbitrary random weighted digraphs — the same
+# distances on the same reached set, unreachable nodes omitted.
+# --------------------------------------------------------------------------
+
+_edge_lists = st.lists(
+    st.tuples(
+        st.integers(0, 9),
+        st.integers(0, 9),
+        st.floats(min_value=0.1, max_value=10.0, allow_nan=False, allow_infinity=False),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _dijkstra_model(n, edges, source=0):
+    import heapq
+
+    adj = {}
+    for a, b, w in edges:
+        adj.setdefault(a, []).append((b, w))
+    dist = {source: 0.0}
+    pq = [(0.0, source)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, []):
+            nd = d + w
+            if nd < dist.get(v, float("inf")) - 1e-15:
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    return dist
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+@given(raw=_edge_lists)
+def test_sssp_paths_match_dijkstra_model(spark, raw):
+    from graph_data_science_spark.algorithms.paths import delta_stepping, shortest_paths
+    from graph_data_science_spark.graph.build import from_edge_list
+
+    edges = [(a, b, round(w, 2)) for a, b, w in raw if a != b] or [(0, 1, 1.0)]
+    n = 10
+    expect = _dijkstra_model(n, edges)
+    g = from_edge_list(spark, edges, node_count=n)
+
+    def _got(res):
+        return {r["node_id"]: r["distance"] for r in res.distances.collect()}
+
+    for got in (
+        _got(shortest_paths(g, source=0)),
+        _got(delta_stepping(g, source=0, delta=0.5)),
+        _got(delta_stepping(g, source=0, delta=4.0)),
+        _got(delta_stepping(g, source=0, delta=1e9)),
+    ):
+        assert set(got) == set(expect)
+        for node, d in expect.items():
+            assert abs(got[node] - d) < 1e-9, (node, got[node], d)
