@@ -315,3 +315,76 @@ def test_sssp_paths_match_dijkstra_model(spark, raw):
         assert set(got) == set(expect)
         for node, d in expect.items():
             assert abs(got[node] - d) < 1e-9, (node, got[node], d)
+
+
+# --------------------------------------------------------------------------
+# WCC + triangle-count differential on arbitrary random digraphs: the
+# engine's contracts (component = min member id over the symmetrized
+# graph; per-node triangle counts over the canonical undirected simple
+# graph) replayed by pure-Python models.
+# --------------------------------------------------------------------------
+
+_digraphs = st.lists(
+    st.tuples(st.integers(0, 11), st.integers(0, 11)), min_size=1, max_size=40
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+@given(raw=_digraphs)
+def test_wcc_all_paths_match_union_find_model(spark, raw):
+    from graph_data_science_spark.algorithms import wcc, wcc_star
+    from graph_data_science_spark.algorithms.wcc import wcc_sampled
+    from graph_data_science_spark.graph.build import from_edge_list
+
+    n = 12
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in raw:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {v: find(v) for v in range(n)}
+
+    g = from_edge_list(spark, [(a, b, 1.0) for a, b in raw], node_count=n)
+    for algo in (wcc, wcc_star, wcc_sampled):
+        got = {r["node_id"]: r["component"] for r in algo(g).components.collect()}
+        assert got == expect, (algo.__name__, got, expect)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+@given(raw=_digraphs)
+def test_triangle_count_matches_model(spark, raw):
+    from graph_data_science_spark.algorithms.triangles import triangle_count
+    from graph_data_science_spark.graph.build import from_edge_list
+
+    n = 12
+    und = {(min(a, b), max(a, b)) for a, b in raw if a != b}
+    nbrs = {v: set() for v in range(n)}
+    for a, b in und:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    expect = {v: 0 for v in range(n)}
+    tri_total = 0
+    for a, b in und:
+        for c in nbrs[a] & nbrs[b]:
+            if c > b:  # each triangle once via its smallest pair... (a<b<c)
+                if a < b < c:
+                    expect[a] += 1
+                    expect[b] += 1
+                    expect[c] += 1
+                    tri_total += 1
+
+    g = from_edge_list(spark, [(a, b, 1.0) for a, b in raw], node_count=n)
+    res = triangle_count(g)
+    got = {r["node_id"]: r["triangles"] for r in res.per_node.collect()}
+    assert res.global_count == tri_total, (res.global_count, tri_total)
+    for v in range(n):
+        assert got.get(v, 0) == expect[v], (v, got.get(v, 0), expect[v])
