@@ -765,6 +765,7 @@ def _merge_ext() -> None:
         queries_ext21,
         queries_ext22,
         queries_ext23,
+        queries_ext24,
     )
 
     for mod, qname, oname in (
@@ -791,6 +792,7 @@ def _merge_ext() -> None:
         (queries_ext21, "QUERIES_EXT21", "ORACLES_EXT21"),
         (queries_ext22, "QUERIES_EXT22", "ORACLES_EXT22"),
         (queries_ext23, "QUERIES_EXT23", "ORACLES_EXT23"),
+        (queries_ext24, "QUERIES_EXT24", "ORACLES_EXT24"),
     ):
         # When an ext module is imported FIRST (tools/tests), it imports this
         # module, whose end-of-module merge then sees the ext module only

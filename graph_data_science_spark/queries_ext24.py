@@ -1,0 +1,131 @@
+"""Round-5 registry extension: property-aware FastRP.
+
+``fastrp_properties_nation`` exercises the reference's headline
+cheap-embedding configuration — ``propertyRatio > 0`` with
+``featureProperties`` (reference ``FastRPParameters.java:29``,
+``FastRP.java:142-153`` initPropertyVectors + ``:368-392``
+PropertyVectorAdder, ``FastRPBaseConfig.java:39-46``) — end-to-end with
+the portable md5 RNG so the WHOLE pipeline replays in DuckDB: the global
+(inputDim × propertyDim) sparse projection, the per-node
+``[random(baseDim) | features · P]`` concatenated init, and all three
+degree-averaged / L2-contribution-normalized propagation rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graph_data_science_spark.algorithms.fastrp import fastrp
+from graph_data_science_spark.graph.build import LinkGraph, to_undirected
+from graph_data_science_spark.queries import _e, _t
+from graph_data_science_spark.queries_ext import (
+    _FRP_SEED,
+    _floor_e,
+    _frp_bucket_sql,
+    _nation_clique_edges,
+)
+
+QUERIES_EXT24: dict = {}
+ORACLES_EXT24: dict = {}
+
+_FRPP_D = 8          # embeddingDimension
+_FRPP_PROP = 4       # propertyDimension = int(8 * 0.5)
+_FRPP_VAL = "(sqrt(3.0) / sqrt(8.0))"  # √SPARSITY/√embeddingDimension — UNSCALED for P
+
+
+def q_fastrp_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    edges = to_undirected(_nation_clique_edges(spark, sf_dir))
+    vertices = nation.select((10 + F.col("n_nationkey")).cast("long").alias("node_id"))
+    feats = nation.select(
+        (10 + F.col("n_nationkey")).cast("long").alias("node_id"),
+        (F.col("n_nationkey") % 7).cast("double").alias("f0"),
+        (F.col("n_regionkey") + 1).cast("double").alias("f1"),
+    )
+    g = LinkGraph(edges=edges, vertices=vertices, node_count=35)
+    res = fastrp(
+        g,
+        embedding_dimension=_FRPP_D,
+        random_seed=_FRP_SEED,
+        rng="portable",
+        feature_properties=feats,
+        property_ratio=0.5,
+    )
+    return res.embeddings.select(
+        "node_id", F.posexplode("embedding").alias("dim", "val")
+    ).select("node_id", "dim", _e(F.col("val"), 6).alias("val_e6"))
+
+
+def _pm_bucket_sql(f_expr: str, k_expr: str) -> str:
+    h = (
+        f"(('0x' || substr(md5('{_FRP_SEED}' || ':p:' || CAST({f_expr} AS VARCHAR)"
+        f" || ':' || CAST({k_expr} AS VARCHAR)), 1, 15))::BIGINT)"
+    )
+    return f"({h} % 6)"
+
+
+_BASE_DIM = _FRPP_D - _FRPP_PROP
+
+Q_FASTRP_PROPS_SQL = f"""
+    WITH n AS MATERIALIZED (
+        SELECT 10 + n_nationkey AS node_id, n_regionkey,
+               CAST(n_nationkey % 7 AS DOUBLE) AS f0,
+               CAST(n_regionkey + 1 AS DOUBLE) AS f1
+        FROM nation),
+    e AS MATERIALIZED (
+        SELECT a.node_id AS src, b.node_id AS dst
+        FROM n a JOIN n b ON a.n_regionkey = b.n_regionkey AND a.node_id <> b.node_id
+    ),
+    deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+    bdims AS (SELECT UNNEST(range(0, {_BASE_DIM})) AS i),
+    pdims AS (SELECT UNNEST(range(0, {_FRPP_PROP})) AS k),
+    fdims AS (SELECT UNNEST(range(0, 2)) AS f),
+    pm AS MATERIALIZED (
+        SELECT f, k,
+               CASE {_pm_bucket_sql('f', 'k')}
+                    WHEN 0 THEN {_FRPP_VAL} WHEN 1 THEN -{_FRPP_VAL} ELSE 0.0 END AS v
+        FROM fdims, pdims),
+    init AS MATERIALIZED (
+        SELECT n.node_id, bdims.i,
+               CASE {_frp_bucket_sql('n.node_id', 'bdims.i')}
+                    WHEN 0 THEN {_FRPP_VAL} WHEN 1 THEN -{_FRPP_VAL} ELSE 0.0 END AS v
+        FROM n, bdims
+        UNION ALL
+        SELECT n.node_id, {_BASE_DIM} + pm.k AS i,
+               SUM((CASE pm.f WHEN 0 THEN n.f0 ELSE n.f1 END) * pm.v) AS v
+        FROM n, pm GROUP BY n.node_id, pm.k
+    ),
+    cur1 AS MATERIALIZED (
+        SELECT e.src AS node_id, p.i, SUM(p.v) / ANY_VALUE(deg.d) AS v
+        FROM e JOIN init p ON p.node_id = e.dst JOIN deg ON deg.src = e.src
+        GROUP BY e.src, p.i
+    ),
+    cur2 AS MATERIALIZED (
+        SELECT e.src AS node_id, p.i, SUM(p.v) / ANY_VALUE(deg.d) AS v
+        FROM e JOIN cur1 p ON p.node_id = e.dst JOIN deg ON deg.src = e.src
+        GROUP BY e.src, p.i
+    ),
+    n2 AS (SELECT node_id, SQRT(SUM(v * v)) AS l2 FROM cur2 GROUP BY node_id),
+    cur3 AS MATERIALIZED (
+        SELECT e.src AS node_id, p.i, SUM(p.v) / ANY_VALUE(deg.d) AS v
+        FROM e JOIN cur2 p ON p.node_id = e.dst JOIN deg ON deg.src = e.src
+        GROUP BY e.src, p.i
+    ),
+    n3 AS (SELECT node_id, SQRT(SUM(v * v)) AS l2 FROM cur3 GROUP BY node_id),
+    emb AS (
+        SELECT c2.node_id, c2.i,
+               c2.v / (CASE WHEN n2.l2 > 0 THEN n2.l2 ELSE 1.0 END)
+             + c3.v / (CASE WHEN n3.l2 > 0 THEN n3.l2 ELSE 1.0 END) AS v
+        FROM cur2 c2
+        JOIN n2 ON n2.node_id = c2.node_id
+        JOIN cur3 c3 ON c3.node_id = c2.node_id AND c3.i = c2.i
+        JOIN n3 ON n3.node_id = c2.node_id
+    )
+    SELECT CAST(node_id AS BIGINT) AS node_id, CAST(i AS INT) AS dim,
+           {_floor_e("v", 6)} AS val_e6
+    FROM emb
+"""
+
+QUERIES_EXT24["fastrp_properties_nation"] = q_fastrp_properties
+ORACLES_EXT24["fastrp_properties_nation"] = Q_FASTRP_PROPS_SQL
