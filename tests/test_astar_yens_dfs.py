@@ -99,7 +99,59 @@ def test_dfs_max_depth(spark):
     assert order == [0, 1]
 
 
-def test_dfs_scale_guard(spark):
+def test_dfs_scale_guard_driver_only(spark):
+    # The collect guard applies only to the general-graph driver kernel;
+    # tree-reachable graphs run the distributed preorder with no cap.
     g = _graph(spark, [(0, 1, 1.0), (1, 2, 1.0)])
     with pytest.raises(ValueError, match="max_edges"):
-        dfs(g, source=0, max_edges=1)
+        dfs(g, source=0, max_edges=1, mode="driver")
+    rows = dfs(g, source=0, max_edges=1).collect()  # auto → tree path, no guard
+    assert len(rows) == 3
+    # non-tree graph in auto mode falls back to the guarded kernel
+    g2 = _graph(spark, [(0, 1, 1.0), (0, 2, 1.0), (1, 3, 1.0), (2, 3, 1.0)])
+    with pytest.raises(ValueError, match="max_edges"):
+        dfs(g2, source=0, max_edges=1)
+
+
+def test_dfs_tree_path_is_distributed(spark, monkeypatch):
+    # dfs on a tree must not touch the driver kernel (no adjacency collect).
+    import graph_data_science_spark.algorithms.traverse as mod
+
+    def boom(*a, **kw):
+        raise AssertionError("driver kernel used on a tree graph")
+
+    monkeypatch.setattr(mod, "_dfs_driver", boom)
+    edges = [(0, 1, 1.0), (0, 2, 1.0), (1, 3, 1.0), (2, 4, 1.0), (2, 5, 1.0)]
+    rows = mod.dfs(_graph(spark, edges), source=0).collect()
+    order = [r["node_id"] for r in sorted(rows, key=lambda r: r["visit_order"])]
+    assert order == [0, 2, 5, 4, 1, 3]
+
+
+def test_dfs_tree_vs_driver_differential(spark):
+    # Random trees: the distributed preorder equals the reference stack
+    # kernel bit-for-bit, with and without max_depth.
+    import random
+
+    from graph_data_science_spark.algorithms.traverse import _dfs_driver
+
+    rng = random.Random(7)
+    for md in (None, 2):
+        n = 24
+        perm = list(range(n))
+        rng.shuffle(perm)
+        edges = []
+        for i in range(1, n):
+            edges.append((perm[rng.randint(0, i - 1)], perm[i], 1.0))
+        g = _graph(spark, edges)
+        a = {r["node_id"]: r["visit_order"] for r in dfs(g, perm[0], max_depth=md).collect()}
+        b = {
+            r["node_id"]: r["visit_order"]
+            for r in _dfs_driver(g, perm[0], md, 10**9).collect()
+        }
+        assert a == b
+
+
+def test_dfs_mode_tree_raises_on_nontree(spark):
+    g = _graph(spark, [(0, 1, 1.0), (0, 2, 1.0), (1, 3, 1.0), (2, 3, 1.0)])
+    with pytest.raises(ValueError, match="in-degree-1"):
+        dfs(g, source=0, mode="tree")
