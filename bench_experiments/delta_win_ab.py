@@ -84,7 +84,9 @@ def main():
         master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
         shuffle_partitions=32,
     )
-    out = {"K": K, "D": D, "W": W, "EPS": EPS, "delta": DELTA}
+    # protocol parameter under its own key — out[algo] below writes
+    # per-algorithm results under "bf"/"delta", which must not clobber it
+    out = {"K": K, "D": D, "W": W, "EPS": EPS, "delta_param": DELTA}
     graph = build_graph(spark)
     graph.edges.persist().count()
 

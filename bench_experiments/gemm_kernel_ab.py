@@ -1,11 +1,13 @@
 """A/B: per-query Python loop vs axis-wise vectorized batch-local top-k
 in the exact-GEMM kNN kernel (``datapipe/ann.py:cosine_topk_gemm``).
 
-The engine now uses the vectorized form; this experiment keeps the
-replaced per-query-loop kernel inline (verbatim) and measures both over
-the same corpus/query scale so the change is justified by a recorded
-number rather than an asymptotic argument. Both kernels compute the same
-candidate sets (identical final top-k after the global window).
+The engine KEEPS the per-query loop (the recorded run: loop 16.9 s vs
+vectorized 19.9 s vs naive-vectorized 182.7 s at this scale — the
+vectorized form's n_q × batch score matrix loses to the loop's cache
+locality under memory pressure); this experiment records the kernels the
+loop beat so the decision is justified by a recorded number rather than
+an asymptotic argument. Both kernels compute the same candidate sets
+(identical final top-k after the global window).
 
 Protocol: local[32], |Q| = 20k queries x |corpus| = 200k vectors (d=16),
 min-of-2 interleaved after one warmup.
@@ -101,8 +103,9 @@ def run(kernel_kind, corpus, q_ids, Qn, spark):
     q_row = {int(q): i for i, q in enumerate(q_ids)}
 
     def local_topk_lean(batches):
-        # the current engine kernel: sparse self-match fix + negation-free
-        # ascending argpartition (no full-matrix temporaries beyond S)
+        # the vectorized candidate the engine's loop beat: sparse
+        # self-match fix + negation-free ascending argpartition (no
+        # full-matrix temporaries beyond S)
         for pdf in batches:
             if not len(pdf):
                 continue

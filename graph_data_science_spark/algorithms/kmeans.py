@@ -11,9 +11,29 @@ seeded sample with a total order any cluster reproduces; explicit
 ``seed_centroids`` overrides it, the ``seedCentroids`` config analog).
 
 Spark shape: centroids are k·d doubles — driver-side literals. Assignment
-is ONE scan with the distance argmin unrolled as a column expression
-(whole-stage codegen, no shuffle); the recompute is one groupBy over k
-groups. Per iteration: one shuffle, one tiny collect.
+is ONE scan with no shuffle either way, but the kernel differs by size:
+
+- small k·d: the distance argmin unrolled as a column expression
+  (whole-stage codegen) — zero Python;
+- large k·d (> ``KMEANS_EXPR_MAX_TERMS``): the unrolled plan itself
+  becomes the bottleneck — at k=128, d=128 building the literal tree
+  exhausts the DRIVER heap before a row is read (recorded:
+  ``bench_experiments/kmeans_kernel_ab.json``), so assignment switches
+  to a broadcast centroid matrix + Arrow-batched ``mapInPandas`` argmin
+  (the GEMM shape of ``datapipe/ann.py``): ``d² = ‖x‖² − 2·X·Cᵀ + ‖c‖²``
+  per batch, clamped at 0. Same tie rule (lowest index wins). The GEMM
+  form can differ from the elementwise form by ~1 ulp under cancellation
+  (A/B: 0 beyond-tie disagreements, max distance delta 1.6e-15) —
+  irrelevant to Lloyd's convergence and to the reference's own float
+  accumulation. The expression path stays the small-k·d default because
+  its arithmetic replays exactly in the DuckDB oracles (exact-tie
+  breaks included) and the driver-gate fixtures are sub-second either
+  way; the A/B records the kernel is 17× faster already at k=8, d=16,
+  n=200k (HOF aggregate/zip_with run interpreted, not codegen'd), so
+  any latency-sensitive large-n caller can lower the threshold.
+
+The recompute is one groupBy over k groups (d partial-agg sums — plan
+size O(d), not O(k·d)). Per iteration: one shuffle, one tiny collect.
 """
 
 from __future__ import annotations
@@ -22,6 +42,10 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Above this many k·dim terms the unrolled argmin expression dominates the
+# plan (codegen size) — assignment switches to the mapInPandas kernel.
+KMEANS_EXPR_MAX_TERMS = 4096
 
 
 @dataclass
@@ -39,6 +63,59 @@ def _dist_sq(vec_col, centroid: list) -> F.Column:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def _assign_expr(df: DataFrame, centroids: list) -> DataFrame:
+    """Unrolled column-expression argmin (small k·d): whole-stage codegen,
+    ties to the lowest centroid index (strict < keeps the earlier one)."""
+    dists = [(j, _dist_sq(F.col("vec"), c)) for j, c in enumerate(centroids)]
+    best = F.lit(0)
+    best_d = dists[0][1]
+    for j, dcol in dists[1:]:
+        cond = dcol < best_d
+        best = F.when(cond, F.lit(j)).otherwise(best)
+        best_d = F.when(cond, dcol).otherwise(best_d)
+    return df.select(
+        "node_id", "vec", best.cast("int").alias("community"), F.sqrt(best_d).alias("distance")
+    )
+
+
+def _assign_kernel(df: DataFrame, centroids: list) -> DataFrame:
+    """Broadcast-matrix argmin (large k·d): one BLAS GEMM per Arrow batch,
+    plan size O(1) in k and d. np.argmin's first-minimum rule matches the
+    expression path's tie-break."""
+    import numpy as np
+
+    cmat = np.asarray(centroids, dtype=np.float64)  # k × d
+    c_sq = (cmat * cmat).sum(axis=1)
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+            d2 = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ cmat.T) + c_sq[None, :]
+            np.maximum(d2, 0.0, out=d2)
+            j = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {
+                    "node_id": pdf["node_id"],
+                    "vec": pdf["vec"],
+                    "community": j.astype("int32"),
+                    "distance": np.sqrt(d2[np.arange(len(j)), j]),
+                }
+            )
+
+    return df.mapInPandas(fn, "node_id long, vec array<double>, community int, distance double")
+
+
+def _assign(df: DataFrame, centroids: list) -> DataFrame:
+    terms = len(centroids) * len(centroids[0])
+    if terms > KMEANS_EXPR_MAX_TERMS:
+        return _assign_kernel(df, centroids)
+    return _assign_expr(df, centroids)
 
 
 def kmeanspp_centroids(
@@ -130,16 +207,7 @@ def kmeans(
     it = 0
     prev = None
     for it in range(1, max_iterations + 1):
-        dists = [(j, _dist_sq(F.col("vec"), c)) for j, c in enumerate(centroids)]
-        best = F.lit(0)
-        best_d = dists[0][1]
-        for j, dcol in dists[1:]:
-            cond = dcol < best_d
-            best = F.when(cond, F.lit(j)).otherwise(best)
-            best_d = F.when(cond, dcol).otherwise(best_d)
-        assignments = df.select(
-            "node_id", "vec", best.cast("int").alias("community"), F.sqrt(best_d).alias("distance")
-        ).persist()
+        assignments = _assign(df, centroids).persist()
         stats = (
             assignments.groupBy("community")
             .agg(

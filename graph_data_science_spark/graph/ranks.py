@@ -45,6 +45,8 @@ BY …)``) are unaffected.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -118,7 +120,27 @@ def _bucketed(
         # nulls, so a NULL key would map to bucket n (mid-sequence) instead
         # of propagating to the coalesce below. Nulls (ordered first) → 0;
         # NaN (ordered last) → n+2.
-        wb = F.width_bucket(key, F.lit(float(lo)), F.lit(float(hi)), F.lit(n_buckets))
+        # Spark's width_bucket computes numBucket·(x − lo) in its
+        # numerator, which overflows (→ garbage buckets / one-bucket
+        # collapse) when finite keys span a large part of the double
+        # range. Rescale key and bounds by a power of two sized in log
+        # space so span · n_buckets stays below 2^1020 — division by 2^k
+        # is monotone (ties may collapse to subnormals, order never
+        # inverts), so bucket boundaries move but ranks are unaffected.
+        flo, fhi = float(lo), float(hi)
+        half_span = fhi / 2.0 - flo / 2.0  # always finite for finite bounds
+        shift = 0
+        if half_span > 0:
+            excess = math.log2(half_span) + 1.0 + math.log2(float(n_buckets)) - 1020.0
+            if excess > 0:
+                shift = int(math.ceil(excess))
+        if shift:
+            s = math.ldexp(1.0, shift)
+            wb = F.width_bucket(
+                key / F.lit(s), F.lit(flo / s), F.lit(fhi / s), F.lit(n_buckets)
+            )
+        else:
+            wb = F.width_bucket(key, F.lit(flo), F.lit(fhi), F.lit(n_buckets))
         bucket = F.when(wb > F.lit(n_buckets), F.lit(n_buckets)).otherwise(wb)
     bucket = F.coalesce(bucket, F.lit(0))
     if is_float:

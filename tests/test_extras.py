@@ -70,6 +70,32 @@ def test_kmeans_two_blobs(spark):
     assert assign == {r["node_id"]: r["community"] for r in res2.assignments.collect()}
 
 
+def test_kmeans_kernel_path_matches_expr(spark, monkeypatch):
+    # Large-k·d assignment runs the mapInPandas GEMM kernel; force it on a
+    # small-k problem and require identical assignments/centroids to the
+    # unrolled expression path (distances to 1e-9 — the GEMM form may
+    # differ by ~ulp).
+    import importlib
+
+    import pytest as _pt
+
+    mod = importlib.import_module("graph_data_science_spark.algorithms.kmeans")
+    pts = [(i, [(i * 37 % 11) / 3.0, (i * 17 % 7) * 1.5, float(i % 5)]) for i in range(60)]
+    df = spark.createDataFrame(pts, "node_id long, embedding array<double>")
+    a = kmeans(df, k=4, max_iterations=6, random_seed=2)
+    monkeypatch.setattr(mod, "KMEANS_EXPR_MAX_TERMS", 0)
+    b = kmeans(df, k=4, max_iterations=6, random_seed=2)
+    am = {r["node_id"]: (r["community"], r["distance"]) for r in a.assignments.collect()}
+    bm = {r["node_id"]: (r["community"], r["distance"]) for r in b.assignments.collect()}
+    assert set(am) == set(bm)
+    for nid in am:
+        assert am[nid][0] == bm[nid][0]
+        assert am[nid][1] == _pt.approx(bm[nid][1], abs=1e-9)
+    for ca, cb in zip(a.centroids, b.centroids):
+        assert ca == _pt.approx(cb, abs=1e-9)
+    assert a.ran_iterations == b.ran_iterations and a.did_converge == b.did_converge
+
+
 def test_kmeans_seeded_centroids(spark):
     pts = [(0, [0.0]), (1, [1.0]), (2, [10.0]), (3, [11.0])]
     df = spark.createDataFrame(pts, "node_id long, embedding array<double>")

@@ -311,6 +311,28 @@ def test_aucpr_no_single_partition_window(spark):
 # --- regression tests: r4 self-review findings (typed offset attach) ---
 
 
+def test_rank_full_double_span_no_bucket_collapse(spark):
+    """Finite keys spanning nearly the full double range: hi - lo
+    overflows to Infinity; the halved-bounds width_bucket must still
+    spread rows across buckets (no single-task straggler) AND stay
+    bit-identical to the naive window."""
+    vals = [(-1e308 + i * 1e304, i) for i in range(50)] + [
+        (1e308 - i * 1e304, 100 + i) for i in range(50)
+    ] + [(float(i), 200 + i) for i in range(20)]
+    df = spark.createDataFrame(vals, "k double, tb long")
+    got = ordered_rank(df, ["k", "tb"], rank_col="_r", n_buckets=8)
+    exp = _naive_rank(df, ["k", "tb"])
+    mismatch = got.join(exp, ["k", "tb"]).filter(F.col("_r") != F.col("_exp")).count()
+    assert mismatch == 0
+    from graph_data_science_spark.graph.ranks import _bucketed
+
+    nb = (
+        _bucketed(df, ["k"], (), 8)
+        .select("_rk_bucket").distinct().count()
+    )
+    assert nb > 1, "full-span doubles collapsed into one range bucket"
+
+
 def test_rank_partitioned_empty_and_null_classes(spark):
     """Empty-string and NULL partition values must rank correctly (the
     string-keyed offset map conflated/dropped them; now a typed
