@@ -194,13 +194,25 @@ def _xavier_weights(rng, n_out: int, n_in: int) -> list:
     return [[rng.uniform(-bound, bound) for _ in range(n_in)] for _ in range(n_out)]
 
 
-def _sampled_layer_edges(edges: DataFrame, sample_size, seed: int, layer: int) -> DataFrame:
+def _portable_hash64(*cols) -> F.Column:
+    """md5-based 60-bit draw, identical in any engine (and in
+    ``hashlib``): int(md5(':'-joined decimal strings)[:15], 16)."""
+    payload = F.concat_ws(":", *[c.cast("string") for c in cols])
+    return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("long")
+
+
+def _sampled_layer_edges(
+    edges: DataFrame, sample_size, seed: int, layer: int, rng: str = "xxhash"
+) -> DataFrame:
     e = edges.select("src", "dst")
     if sample_size is None:
         return e
-    w = Window.partitionBy("src").orderBy(
-        F.xxhash64("src", "dst", F.lit(int(seed)), F.lit(int(layer)))
+    h = (
+        _portable_hash64(F.col("src"), F.col("dst"), F.lit(int(seed)), F.lit(int(layer)))
+        if rng == "portable"
+        else F.xxhash64("src", "dst", F.lit(int(seed)), F.lit(int(layer)))
     )
+    w = Window.partitionBy("src").orderBy(h)
     return e.withColumn("_r", F.row_number().over(w)).filter(
         F.col("_r") <= int(sample_size)
     ).drop("_r")
@@ -220,6 +232,7 @@ def graphsage_train(
     penalty_l2: float = 0.0,
     random_seed: int = 42,
     feature_dim: int | None = None,
+    rng: str = "xxhash",
 ) -> GraphSageTrainResult:
     """Unsupervised GraphSage training (reference
     ``GraphSageModelTrainer.java:62``; loss ``GraphSageLoss.java:35``;
@@ -250,6 +263,11 @@ def graphsage_train(
 
     Deviation from the reference, stated: synchronous full-batch steps
     instead of concurrent mini-batches (see module docstring).
+
+    ``rng``: 'xxhash' (default, cheapest JVM hash) or 'portable'
+    (md5-based draws reproducible in plain ``hashlib`` — used by the
+    ``graphsage_train_replay`` oracle row, whose goldens come from the
+    independent NumPy reimplementation in ``tools/graphsage_replay.py``).
     """
     import numpy as np
 
@@ -321,9 +339,9 @@ def graphsage_train(
     ).persist()
     neg_table.count()
 
-    rng = _random.Random(seed)
+    init_rng = _random.Random(seed)  # NOT `rng` — that's the hash-mode param
     dims = [feat_dim] + [int(embedding_dim)] * n_layers
-    weights = [_xavier_weights(rng, dims[k + 1], dims[k]) for k in range(n_layers)]
+    weights = [_xavier_weights(init_rng, dims[k + 1], dims[k]) for k in range(n_layers)]
 
     # Adam state per layer (driver-side; matrices are dim² scalars).
     adam_m = [np.zeros((dims[k + 1], dims[k])) for k in range(n_layers)]
@@ -337,7 +355,7 @@ def graphsage_train(
     )
 
     layer_edges = [
-        _sampled_layer_edges(edges, sample_sizes[k], seed, k).persist()
+        _sampled_layer_edges(edges, sample_sizes[k], seed, k, rng=rng).persist()
         for k in range(n_layers)
     ]
     pool_cnt = [
@@ -351,15 +369,23 @@ def graphsage_train(
     step = 0
     for step in range(1, int(epochs) + 1):
         # ---- sample positives: seeded random walk, per-u depth ---------
+        if rng == "portable":
+            depth_h = _portable_hash64(F.col("node_id"), F.lit(seed), F.lit(step), F.lit("d"))
+        else:
+            depth_h = F.xxhash64("node_id", F.lit(seed), F.lit(step), F.lit("d"))
         depth_u = h0.select(
             "node_id",
-            (F.pmod(F.xxhash64("node_id", F.lit(seed), F.lit(step), F.lit("d")), F.lit(search_depth)) + 1).alias("_depth"),
+            (F.pmod(depth_h, F.lit(search_depth)) + 1).alias("_depth"),
         )
         cur = depth_u.select("node_id", F.col("node_id").alias("cur"), "_depth")
         for walk_step in range(1, int(search_depth) + 1):
-            w_draw = Window.partitionBy("node_id").orderBy(
-                F.xxhash64("node_id", "dst", F.lit(seed), F.lit(step), F.lit(walk_step))
-            )
+            if rng == "portable":
+                walk_h = _portable_hash64(
+                    F.col("node_id"), F.col("dst"), F.lit(seed), F.lit(step), F.lit(walk_step)
+                )
+            else:
+                walk_h = F.xxhash64("node_id", "dst", F.lit(seed), F.lit(step), F.lit(walk_step))
+            w_draw = Window.partitionBy("node_id").orderBy(walk_h)
             nxt = (
                 cur.filter(F.col("_depth") >= walk_step)
                 .join(edges.select(F.col("src").alias("cur"), "dst"), "cur")
@@ -380,12 +406,17 @@ def graphsage_train(
         positives = cur.select("node_id", F.col("cur").alias("pos"))
 
         # ---- sample negatives: degree^0.75 inverse-CDF equi-join -------
+        if rng == "portable":
+            neg_u = _portable_hash64(
+                F.col("node_id"), F.lit(seed), F.lit(step), F.lit("n")
+            ) / F.lit(float(16**15))
+        else:
+            neg_u = F.pmod(
+                F.xxhash64("node_id", F.lit(seed), F.lit(step), F.lit("n")), F.lit(1 << 40)
+            ) / F.lit(float(1 << 40))
         draws = h0.select(
             "node_id",
-            (
-                (F.pmod(F.xxhash64("node_id", F.lit(seed), F.lit(step), F.lit("n")), F.lit(1 << 40)) / F.lit(float(1 << 40)))
-                * F.lit(float(total_w))
-            ).alias("r"),
+            (neg_u * F.lit(float(total_w))).alias("r"),
         ).withColumn("bucket", F.least(F.floor(F.col("r") / F.lit(bucket_w)).cast("long"), F.lit(int(n_buckets) - 1)))
         negatives = (
             draws.alias("d")

@@ -129,3 +129,84 @@ Q_FASTRP_PROPS_SQL = f"""
 
 QUERIES_EXT24["fastrp_properties_nation"] = q_fastrp_properties
 ORACLES_EXT24["fastrp_properties_nation"] = Q_FASTRP_PROPS_SQL
+
+
+# --------------------------------------------------------------------------
+# GraphSage training replay oracle (r4 verdict item 4 — the last
+# pytest-only surface). The Spark trainer runs with the portable md5 RNG
+# on the nation-clique fixture (identical at every TPC-H sf); the oracle
+# goldens are produced by the INDEPENDENT NumPy reimplementation in
+# tools/graphsage_replay.py (hashlib + random + NumPy, no Spark), which
+# matches the engine to ~1e-15 — regenerate with
+# `python tools/graphsage_replay.py` if the fixture or params change.
+# The SGD loop itself is not SQL-expressible (documented deviation); the
+# VALUES table lets the driver's hash gate still verify the full loss
+# trajectory and final weight matrix against an independent
+# implementation.
+# --------------------------------------------------------------------------
+
+_GS_GOLDEN = [
+    ("loss", 1, 26562240),
+    ("loss", 2, 26514596),
+    ("loss", 3, 26457219),
+    ("loss", 4, 26363116),
+    ("w0", 0, -465836),
+    ("w0", 1, 512122),
+    ("w0", 2, 481857),
+    ("w0", 3, -444040),
+    ("w0", 4, -356834),
+    ("w0", 5, 572146),
+    ("w0", 6, -1018354),
+    ("w0", 7, 398016),
+]
+
+
+def q_graphsage_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from graph_data_science_spark.algorithms.graphsage import graphsage_train
+
+    nation = _t(spark, sf_dir, "nation")
+    edges = to_undirected(_nation_clique_edges(spark, sf_dir))
+    feats = nation.select(
+        (10 + F.col("n_nationkey")).cast("long").alias("node_id"),
+        F.array(
+            (1.0 + F.col("n_nationkey") % 3).cast("double"),
+            (0.5 * (F.col("n_regionkey") + 1)).cast("double"),
+        ).alias("features"),
+    )
+    g = LinkGraph(edges=edges, node_count=35)
+    res = graphsage_train(
+        g,
+        feats,
+        rng="portable",
+        feature_dim=2,
+        activation="sigmoid",
+        embedding_dim=4,
+        sample_sizes=[10],
+        epochs=4,
+        learning_rate=0.1,
+        tolerance=1e-6,
+        search_depth=3,
+        negative_sample_weight=20,
+        random_seed=11,
+    )
+    phase = 0.3183098861837907
+    rows = [
+        ("loss", i, int(math.floor(v * 1e6 + phase)))
+        for i, v in enumerate(res.losses, start=1)
+    ]
+    for k, wm in enumerate(res.weights):
+        in_d = len(wm[0])
+        for i, row in enumerate(wm):
+            for j, v in enumerate(row):
+                rows.append((f"w{k}", i * in_d + j, int(math.floor(v * 1e6 + phase))))
+    return spark.createDataFrame(rows, "kind string, idx int, val_e6 long")
+
+
+Q_GRAPHSAGE_TRAIN_SQL = "SELECT kind, CAST(idx AS INT) AS idx, CAST(val_e6 AS BIGINT) AS val_e6 FROM (VALUES\n" + ",\n".join(
+    f"    ('{k}', {i}, {v})" for k, i, v in _GS_GOLDEN
+) + "\n) AS t(kind, idx, val_e6)"
+
+QUERIES_EXT24["graphsage_train_replay"] = q_graphsage_train
+ORACLES_EXT24["graphsage_train_replay"] = Q_GRAPHSAGE_TRAIN_SQL

@@ -150,3 +150,38 @@ def test_graphsage_train_two_layers_and_convergence(spark):
     assert len(res.weights) == 2
     assert len(res.weights[0]) == 3 and len(res.weights[0][0]) == 3
     assert res.embeddings.count() == 8
+
+
+def test_graphsage_train_matches_numpy_replay(spark):
+    """The portable-RNG trainer must match the independent NumPy
+    reimplementation (tools/graphsage_replay.py — hashlib/random/NumPy,
+    no Spark) at float precision: every sampling draw bit-equal, losses
+    and final weights to 1e-9. This is the float-level twin of the
+    graphsage_train_replay oracle row's e6 goldens."""
+    import os
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    from graphsage_replay import FIXTURE_PARAMS, nation_fixture, replay
+
+    from graph_data_science_spark.algorithms.graphsage import graphsage_train
+    from graph_data_science_spark.graph.build import LinkGraph
+
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    if not os.path.isdir(sf):
+        pytest.skip("testdata not present")
+    edges, features = nation_fixture(sf)
+    exp = replay(edges, features, **FIXTURE_PARAMS)
+    e = spark.createDataFrame([(s, d, 1.0) for s, d in edges], "src long, dst long, weight double")
+    f = spark.createDataFrame([(u, v) for u, v in features.items()], "node_id long, features array<double>")
+    got = graphsage_train(
+        LinkGraph(edges=e, node_count=35), f, rng="portable",
+        feature_dim=2, activation="sigmoid", penalty_l2=0.0, **FIXTURE_PARAMS,
+    )
+    assert got.ran_steps == exp["ran_steps"]
+    assert got.did_converge == exp["did_converge"]
+    assert got.losses == pytest.approx(exp["losses"], abs=1e-9)
+    for k in range(len(got.weights)):
+        assert np.allclose(np.array(got.weights[k]), exp["weights"][k], atol=1e-9)
