@@ -29,11 +29,15 @@ modes here:
   partition-parallel. It reaches the same converged community *partitions*
   GDS's own tests assert (``LabelPropagationTest.java:172-187``); per-node
   label trajectories can differ mid-run; maxIterations caps like GDS.
-- ``mode="gds_sequential"`` (compatibility/testing, small graphs only):
-  exact emulation of GDS concurrency=1 batch-order async updates, for
-  bit-exact parity with seeded fixtures (``LabelPropagationTest.java:108-129``).
-  This intentionally runs on the driver and is guarded to ≤100k nodes —
-  it exists to *verify* semantics, not to process data.
+- ``mode="gds_sequential"`` (compatibility): exact emulation of GDS
+  concurrency=1 batch-order async updates, for bit-exact parity with
+  seeded fixtures (``LabelPropagationTest.java:108-129``). ≤100k nodes
+  run the driver kernel; larger graphs route to the partition-serial
+  batched pass (r5) — id-ordered chunks whose votes are gathered
+  distributed and replayed serially one chunk per task, changes merged
+  between chunks, so no process ever holds more than one chunk's
+  adjacency. The remaining serialism is the semantics itself (async
+  in-order updates; the reference at concurrency=1 is equally serial).
 """
 
 from __future__ import annotations
@@ -49,7 +53,11 @@ from graph_data_science_spark.pregel.spmv import (
     prep_edges_sql_salted,
     replicate_state_for_salts,
 )
-from graph_data_science_spark.pregel.superstep import SuperstepLoop, edge_lineage
+from graph_data_science_spark.pregel.superstep import (
+    SuperstepLoop,
+    edge_lineage,
+    materialize_roundtrip,
+)
 
 
 @dataclass
@@ -81,7 +89,11 @@ def label_propagation(
     hot_degree_threshold: int = 2_000_000,
 ) -> LabelPropResult:
     if mode == "gds_sequential":
-        return _label_propagation_sequential(graph, max_iterations, seed_col, node_weight_col)
+        if graph.with_node_count() <= 100_000:
+            return _label_propagation_sequential(graph, max_iterations, seed_col, node_weight_col)
+        return _label_propagation_sequential_batched(
+            graph, max_iterations, seed_col, node_weight_col
+        )
 
     spark = graph.edges.sparkSession
     edges = graph.edges.select("src", "dst", F.col("weight").cast("double").alias("weight"))
@@ -168,6 +180,121 @@ def label_propagation(
     )
 
 
+def _label_propagation_sequential_batched(
+    graph: LinkGraph,
+    max_iterations: int,
+    seed_col: str | None,
+    node_weight_col: str | None,
+    batch_size: int = 100_000,
+) -> LabelPropResult:
+    """GDS concurrency=1 parity beyond the driver kernel's size cap (r5):
+    the reference's batch-ordered in-place update
+    (``ComputeStep.java:80-90``) as a PARTITION-SERIAL pass — nodes are
+    processed in id order in ``batch_size`` chunks; each chunk's votes
+    are gathered DISTRIBUTED (edge join against current labels), then
+    one task replays the chunk serially with an in-chunk patch dict
+    (earlier in-chunk updates visible to later nodes, exactly the shared
+    array's visibility), and the chunk's changes merge back before the
+    next chunk joins. Neither the driver nor any task ever holds more
+    than one chunk's adjacency — the scale cap the driver kernel had is
+    gone; the serialism that remains is the SEMANTICS (async in-order
+    updates have no order-free formulation; the reference is equally
+    serial at concurrency=1). Exactly equal to the driver kernel by
+    construction (differential-tested)."""
+    spark = graph.edges.sparkSession
+    n = graph.with_node_count()
+
+    labels = materialize_roundtrip(
+        _initial_labels(graph, seed_col).select("node_id", "label"), tag="lpa_seq"
+    )
+    nw_edges = graph.edges.select("src", "dst", F.col("weight").cast("double").alias("weight"))
+    if node_weight_col is not None and graph.vertices is not None:
+        nwv = graph.vertices.select(
+            F.col("node_id").alias("dst"),
+            F.col(node_weight_col).cast("double").alias("_nw"),
+        )
+        nw_edges = (
+            nw_edges.join(nwv, "dst", "left")
+            .withColumn("weight", F.col("weight") * F.coalesce(F.col("_nw"), F.lit(1.0)))
+            .drop("_nw")
+        )
+    nw_edges = nw_edges.persist()
+    nw_edges.count()
+
+    def chunk_kernel(pdf):
+        import pandas as pd
+
+        out_nodes, out_labels = [], []
+        updated: dict = {}
+        cur_src, votes, src_label = None, {}, None
+
+        def flush():
+            if cur_src is None or not votes:
+                return
+            best = min(votes, key=lambda k: (-votes[k], k))
+            if best != src_label:
+                updated[cur_src] = best
+                out_nodes.append(cur_src)
+                out_labels.append(best)
+
+        pdf = pdf.sort_values(["src", "dst"], kind="mergesort")
+        for row in pdf.itertuples(index=False):
+            if row.src != cur_src:
+                flush()
+                cur_src, votes = row.src, {}
+                src_label = row.src_label
+            lbl = updated.get(row.dst, row.dst_label)
+            votes[lbl] = votes.get(lbl, 0.0) + row.weight
+        flush()
+        return pd.DataFrame({"node": out_nodes, "label": out_labels})
+
+    converged, it = False, 0
+    for it in range(1, max_iterations + 1):
+        changed_total = 0
+        for lo in range(0, n, batch_size):
+            hi = min(n, lo + batch_size)
+            batch = (
+                nw_edges.filter((F.col("src") >= lo) & (F.col("src") < hi))
+                .join(
+                    labels.select(F.col("node_id").alias("src"), F.col("label").alias("src_label")),
+                    "src",
+                )
+                .join(
+                    labels.select(F.col("node_id").alias("dst"), F.col("label").alias("dst_label")),
+                    "dst",
+                )
+                .select("src", "src_label", "dst", "dst_label", "weight")
+            )
+            upd = batch.groupBy(F.lit(0).alias("_g")).applyInPandas(
+                lambda _key, pdf: chunk_kernel(pdf), "node long, label long"
+            )
+            upd = materialize_roundtrip(upd, tag="lpa_seq_upd", keep_last=2)
+            n_upd = upd.count()
+            changed_total += n_upd
+            if n_upd:
+                upd_r = upd.select(
+                    F.col("node").alias("node_id"), F.col("label").alias("_new_label")
+                )
+                labels = materialize_roundtrip(
+                    labels.join(upd_r, "node_id", "left").select(
+                        "node_id",
+                        F.coalesce(F.col("_new_label"), F.col("label")).alias("label"),
+                    ),
+                    tag="lpa_seq",
+                    keep_last=2,
+                )
+        if changed_total == 0:
+            converged = True
+            break
+
+    nw_edges.unpersist()
+    return LabelPropResult(
+        labels=labels.select("node_id", "label"),
+        ran_iterations=it,
+        did_converge=converged,
+    )
+
+
 def _label_propagation_sequential(
     graph: LinkGraph,
     max_iterations: int,
@@ -175,12 +302,14 @@ def _label_propagation_sequential(
     node_weight_col: str | None,
 ) -> LabelPropResult:
     """GDS concurrency=1 parity mode: in-id-order async updates (driver-side,
-    guarded small). Exists for fixture-exact verification only."""
+    guarded small). Exists for fixture-exact verification only; graphs
+    above the cap route to :func:`_label_propagation_sequential_batched`
+    (same semantics, partition-serial chunks)."""
     import numpy as np
 
     n = graph.with_node_count()
     if n > 100_000:
-        raise ValueError("gds_sequential mode is a parity/testing mode; use mode='sync' at scale")
+        raise ValueError("gds_sequential driver kernel is capped; label_propagation routes larger graphs to the batched pass")
 
     init = {r["node_id"]: r["label"] for r in _initial_labels(graph, seed_col).collect()}
     labels = np.array([init.get(v, v) for v in range(n)], dtype=np.int64)

@@ -307,3 +307,228 @@ def sample_frames(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ts_ms"),
         )
     )
+
+
+FRAMES_SCHEMA = (
+    "asset_id long, frame_ts_ms long, width int, height int, "
+    "pixels array<float>, decode_ok boolean"
+)
+
+
+def _require_av():
+    try:
+        import av  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - environment-dependent
+        raise NotImplementedError(
+            "codec 'av' requires PyAV, which is not installed in this "
+            "environment; use codec='fake' for the stubbed frame decode"
+        ) from exc
+
+
+def _require_imageio():
+    try:
+        import imageio.v3  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - environment-dependent
+        raise NotImplementedError(
+            "codec 'imageio' requires imageio, which is not installed in "
+            "this environment; use codec='fake' for the stubbed frame decode"
+        ) from exc
+
+
+def _av_frames_fn(tw: int, th: int):
+    """mapInPandas kernel: PyAV container decode (per-asset open, seek per
+    sampled timestamp — the codec call is inherently per-frame C work,
+    same position as the Pillow kernels); grayscale resample to (th, tw).
+    Rows are grouped by asset within each Arrow batch so a container
+    opens once per asset, not once per frame."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        import av
+        import numpy as np
+        from PIL import Image
+
+        for pdf in batches:
+            out_rows = {
+                "asset_id": [], "frame_ts_ms": [], "width": [], "height": [],
+                "pixels": [], "decode_ok": [],
+            }
+            for asset_id, grp in pdf.groupby("asset_id", sort=False):
+                payload = grp["payload"].iloc[0]
+                container = None
+                try:
+                    container = av.open(io.BytesIO(payload))
+                    stream = container.streams.video[0]
+                except Exception:
+                    container = None
+                for ts in grp["frame_ts_ms"]:
+                    ok, px = False, np.zeros(tw * th, dtype=np.float32)
+                    if container is not None:
+                        try:
+                            container.seek(
+                                int(ts * 1000), backward=True, any_frame=False, stream=stream
+                            )
+                            frame = next(container.decode(stream))
+                            im = frame.to_image().convert("L").resize(
+                                (tw, th), Image.NEAREST
+                            )
+                            px = (np.asarray(im, dtype=np.float32) / 255.0).reshape(-1)
+                            ok = True
+                        except Exception:
+                            pass
+                    out_rows["asset_id"].append(asset_id)
+                    out_rows["frame_ts_ms"].append(int(ts))
+                    out_rows["width"].append(tw)
+                    out_rows["height"].append(th)
+                    out_rows["pixels"].append(px)
+                    out_rows["decode_ok"].append(ok)
+                if container is not None:
+                    container.close()
+            yield pd.DataFrame(out_rows)
+
+    return decode
+
+
+def _imageio_frames_fn(tw: int, th: int, every_ms: int):
+    """mapInPandas kernel: imageio.v3 frame decode (index = sampled frame
+    ordinal — imageio addresses frames by index, so the ts→index mapping
+    assumes the sampling cadence; containers that expose timestamps
+    should prefer codec='av')."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        import imageio.v3 as iio
+        import numpy as np
+        from PIL import Image
+
+        for pdf in batches:
+            out_rows = {
+                "asset_id": [], "frame_ts_ms": [], "width": [], "height": [],
+                "pixels": [], "decode_ok": [],
+            }
+            for asset_id, grp in pdf.groupby("asset_id", sort=False):
+                payload = grp["payload"].iloc[0]
+                for ts in grp["frame_ts_ms"]:
+                    ok, px = False, np.zeros(tw * th, dtype=np.float32)
+                    try:
+                        arr = iio.imread(
+                            io.BytesIO(payload), index=int(ts) // max(1, every_ms)
+                        )
+                        im = Image.fromarray(arr).convert("L").resize(
+                            (tw, th), Image.NEAREST
+                        )
+                        px = (np.asarray(im, dtype=np.float32) / 255.0).reshape(-1)
+                        ok = True
+                    except Exception:
+                        pass
+                    out_rows["asset_id"].append(asset_id)
+                    out_rows["frame_ts_ms"].append(int(ts))
+                    out_rows["width"].append(tw)
+                    out_rows["height"].append(th)
+                    out_rows["pixels"].append(px)
+                    out_rows["decode_ok"].append(ok)
+            yield pd.DataFrame(out_rows)
+
+    return decode
+
+
+def decode_frames(
+    assets: DataFrame,
+    every_ms: int = 1000,
+    codec: str = "fake",
+    tw: int = 8,
+    th: int = 8,
+) -> DataFrame:
+    """Frame-sample + decode for video assets: ``sample_frames``'s explode
+    with the payload carried along, then an Arrow-batched decode kernel to
+    (th, tw) grayscale pixels in [0, 1].
+
+    ``fake``: deterministic pixels folded whole-batch from the payload
+    prefix and the frame timestamp (real plumbing — schema, explode,
+    batch shape, per-asset grouping — with stub pixel math; no per-row
+    Python). ``av``: real container decode via PyAV when importable
+    (per-asset open, per-ts seek). ``imageio``: imageio.v3 frame decode
+    when importable. Either real codec marks per-frame failures as
+    ``decode_ok=false`` with zero pixels, mirroring the Pillow image
+    path. Rows are repartitioned by asset so each container opens once
+    per asset per batch.
+    """
+    frames = (
+        assets.filter(F.col("kind") == "video")
+        .select(
+            "asset_id",
+            "payload",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)), F.lit(every_ms)
+                )
+            ).alias("frame_ts_ms"),
+        )
+        .repartition(F.col("asset_id"))
+    )
+    if codec == "av":
+        _require_av()
+        _require_pil()
+        return frames.mapInPandas(_av_frames_fn(tw, th), FRAMES_SCHEMA)
+    if codec == "imageio":
+        _require_imageio()
+        _require_pil()
+        return frames.mapInPandas(_imageio_frames_fn(tw, th, every_ms), FRAMES_SCHEMA)
+    if codec != "fake":
+        raise NotImplementedError(
+            f"codec {codec!r} requires video libraries not present in this environment"
+        )
+
+    npx = tw * th
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pyarrow as pa
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame(
+                    {
+                        "asset_id": pdf["asset_id"],
+                        "frame_ts_ms": pdf["frame_ts_ms"],
+                        "width": [], "height": [], "pixels": [], "decode_ok": [],
+                    }
+                )
+                continue
+            # Same Arrow-buffer gather as decode_images' fake codec: one
+            # (n, 64) byte matrix, no per-row Python.
+            width = 64
+            binarr = pa.array(pdf["payload"], type=pa.binary())
+            offsets = np.frombuffer(binarr.buffers()[1], dtype=np.int32)
+            offsets = offsets[binarr.offset : binarr.offset + n + 1].astype(np.int64)
+            databuf = binarr.buffers()[2]
+            data = (
+                np.frombuffer(databuf, dtype=np.uint8)
+                if databuf is not None
+                else np.zeros(0, dtype=np.uint8)
+            )
+            lengths = np.clip(offsets[1:] - offsets[:-1], 0, width)
+            idx = offsets[:-1, None] + np.arange(width, dtype=np.int64)[None, :]
+            valid = np.arange(width, dtype=np.int64)[None, :] < lengths[:, None]
+            mat = np.zeros((n, width), dtype=np.uint8)
+            mat[valid] = data[idx[valid]]
+            ts = pdf["frame_ts_ms"].to_numpy(dtype=np.int64)
+            # fake per-frame pixels: byte lanes tiled to npx, salted by ts
+            lanes = mat[:, np.arange(npx) % width].astype(np.int64)
+            px = (((lanes + 1) * (ts[:, None] + 1)) % 256).astype(np.float32) / 255.0
+            ok = ~pdf["payload"].isna().to_numpy()
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "frame_ts_ms": ts,
+                    "width": np.full(n, tw, dtype=np.int32),
+                    "height": np.full(n, th, dtype=np.int32),
+                    "pixels": list(px),
+                    "decode_ok": ok,
+                }
+            )
+
+    return frames.mapInPandas(decode, FRAMES_SCHEMA)

@@ -67,6 +67,11 @@ DEFAULT_BUCKETS = 256
 # offsets DataFrame instead.
 _MAP_LITERAL_MAX = 8192
 
+# Depth-mode boundary cap: the quantile boundaries become a literal array
+# scanned per row, so O(n_buckets) per-row cost — capped, unlike the O(1)
+# width mode which scales to 2^19 buckets.
+_DEPTH_MAX_BOUNDARIES = 1024
+
 
 def _monotone_key(df: DataFrame, col: str) -> tuple[Column, bool]:
     """A double-valued column that is monotone non-decreasing in the
@@ -94,9 +99,23 @@ def _bucketed(
     order_cols: list[str],
     partition_cols: tuple[str, ...],
     n_buckets: int,
+    bucket_mode: str = "width",
 ) -> DataFrame:
     """Annotate ``df`` with a ``_rk_bucket`` int column: an
-    order-monotone range bucket of the leading order column."""
+    order-monotone range bucket of the leading order column.
+
+    ``bucket_mode='width'`` (default): equi-width ``width_bucket`` over
+    the observed [min, max] — deterministic, O(1) per row, but
+    value-skewed distributions can unbalance buckets. ``'depth'``:
+    sampled-quantile boundaries (``approxQuantile``, computed ONCE and
+    captured as literals, so every later action sees the same
+    boundaries) — balanced buckets under adversarial skew at the cost of
+    an O(n_buckets) per-row literal-array scan, so the boundary count is
+    capped at {cap}. Either mode assigns equal keys the same bucket
+    (bucket is a pure function of the VALUE), so ranks are bit-identical
+    between modes.""".format(cap=_DEPTH_MAX_BOUNDARIES)
+    if bucket_mode not in ("width", "depth"):
+        raise ValueError(f"bucket_mode must be 'width' or 'depth', got {bucket_mode!r}")
     key, is_float = _monotone_key(df, order_cols[0])
     # NaN and ±Infinity route to their own edge buckets below, so exclude
     # them from the [lo, hi] range: F.max over a float column returns NaN
@@ -114,6 +133,18 @@ def _bucketed(
     if lo is None or hi is None or lo == hi:
         # empty, all-null, or single-valued leading column: one bucket
         bucket = F.lit(1)
+    elif bucket_mode == "depth":
+        nb = min(int(n_buckets), _DEPTH_MAX_BOUNDARIES)
+        probs = [i / nb for i in range(1, nb)]
+        kdf = df.select(range_key.alias("_rk_k")).filter(F.col("_rk_k").isNotNull())
+        bounds = sorted(set(kdf.approxQuantile("_rk_k", probs, 0.001))) if probs else []
+        if not bounds:
+            bucket = F.lit(1)
+        else:
+            # bucket = 1 + #boundaries strictly below the key: equal keys
+            # share a bucket, order is monotone in the key.
+            barr = F.array(*[F.lit(float(x)) for x in bounds])
+            bucket = F.lit(1) + F.size(F.filter(barr, lambda x: x < key))
     else:
         # width_bucket(x, lo, hi, n) ∈ [1, n] for x ∈ [lo, hi); x == hi
         # falls in n+1 — fold it back. NOT F.least(wb, n): least SKIPS
@@ -285,6 +316,7 @@ def ordered_rank(
     partition_cols: tuple[str, ...] = (),
     n_buckets: int | None = DEFAULT_BUCKETS,
     n_rows: int | None = None,
+    bucket_mode: str = "width",
 ) -> DataFrame:
     """``df`` + ``rank_col`` = 0-based ``row_number() OVER (PARTITION BY
     partition_cols ORDER BY order_cols) - 1``, computed without a global
@@ -293,7 +325,7 @@ def ordered_rank(
     driver. Bit-identical to the naive window. ``n_buckets=None`` derives
     the bucket count from the row count (see ``_resolve_buckets``)."""
     n_buckets = _resolve_buckets(df, n_buckets, n_rows)
-    b = _bucketed(df, order_cols, partition_cols, n_buckets)
+    b = _bucketed(df, order_cols, partition_cols, n_buckets, bucket_mode)
     counts = (
         b.groupBy(*partition_cols, "_rk_bucket").agg(F.count("*").alias("_n")).collect()
     )
@@ -313,6 +345,7 @@ def ordered_cumsum(
     partition_cols: tuple[str, ...] = (),
     n_buckets: int | None = DEFAULT_BUCKETS,
     n_rows: int | None = None,
+    bucket_mode: str = "width",
 ) -> DataFrame:
     """``df`` + ``cum_col`` = inclusive ``sum(value_col) OVER (PARTITION BY
     partition_cols ORDER BY order_cols ROWS UNBOUNDED PRECEDING)``,
@@ -327,6 +360,7 @@ def ordered_cumsum(
         partition_cols=partition_cols,
         n_buckets=n_buckets,
         n_rows=n_rows,
+        bucket_mode=bucket_mode,
     )
 
 
@@ -338,6 +372,7 @@ def ordered_scan(
     partition_cols: tuple[str, ...] = (),
     n_buckets: int | None = DEFAULT_BUCKETS,
     n_rows: int | None = None,
+    bucket_mode: str = "width",
 ) -> DataFrame:
     """Several inclusive running sums (``cumsums``: value column → output
     column) and optionally a 0-based ``rank_col`` over the SAME global
@@ -346,7 +381,7 @@ def ordered_scan(
     :func:`ordered_cumsum` — bit-identical to k naive global windows plus
     ``row_number() - 1`` (fp caveat of ordered_cumsum applies)."""
     n_buckets = _resolve_buckets(df, n_buckets, n_rows)
-    b = _bucketed(df, order_cols, partition_cols, n_buckets)
+    b = _bucketed(df, order_cols, partition_cols, n_buckets, bucket_mode)
     value_cols = list(cumsums)
     aggs = [F.sum(F.col(vc)).alias(f"_t{i}") for i, vc in enumerate(value_cols)]
     if rank_col is not None:

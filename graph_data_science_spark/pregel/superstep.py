@@ -301,6 +301,22 @@ class SuperstepLoop:
                 .agg(F.count("*").alias("rows"))
                 .collect()
             )
+            # Estimate-vs-actual feedback (r4 verdict item 9): record what
+            # the predict() model can be checked against — the committed
+            # state's row count and its on-disk parquet bytes. The
+            # prediction is an IN-MEMORY upper bound; parquet is
+            # columnar-compressed, so estimate_report() compares with a
+            # documented factor rather than equality.
+            obs_bytes = 0
+            for root, _dirs, files in os.walk(self._state_path(superstep)):
+                for fn in files:
+                    if not fn.startswith(("_", ".")):
+                        obs_bytes += os.path.getsize(os.path.join(root, fn))
+            counters = {
+                **(counters or {}),
+                "observed_state_rows": sum(int(r["rows"]) for r in part_rows),
+                "observed_state_parquet_mb": round(obs_bytes / 1e6, 3),
+            }
         else:
             part_rows = []
         counters_json = json.dumps(counters or {}, sort_keys=True)
@@ -340,6 +356,56 @@ class SuperstepLoop:
         if self.dir and os.path.isdir(self._metrics_path()):
             return self.spark.read.parquet(self._metrics_path())
         return self.spark.createDataFrame(self.memory_metrics or [], METRICS_SCHEMA)
+
+
+# Documented bounds for predicted-in-memory vs observed-on-disk state: the
+# predict() model counts deserialized row bytes; committed parquet is
+# snappy-compressed columnar (2-16x smaller on numeric state). A ratio
+# below MIN means the model UNDERESTIMATED (the dangerous direction — the
+# spill warning would stay silent); above MAX the model is so loose it
+# stops informing sizing decisions.
+ESTIMATE_RATIO_MIN = 0.5
+ESTIMATE_RATIO_MAX = 32.0
+
+
+def estimate_report(metrics_df: DataFrame) -> list[dict]:
+    """Predicted-vs-observed comparison rows from a loop's metrics table
+    (one dict per algo): the post-run feedback for the ``predict()``
+    model. Requires durable (checkpoint_dir) metrics — the observed state
+    sizes are recorded at commit time. Metrics tables are tiny (one row
+    per partition per superstep), so the driver-side fold is fine."""
+    per_algo: dict[str, dict] = {}
+    for r in metrics_df.select("algo", "superstep", "counters").distinct().collect():
+        c = json.loads(r["counters"] or "{}")
+        if "observed_state_rows" not in c:
+            continue
+        rec = per_algo.setdefault(
+            r["algo"],
+            {
+                "algo": r["algo"],
+                "predicted_state_mb": c.get("predicted_state_mb"),
+                "peak_observed_state_rows": 0,
+                "peak_observed_state_parquet_mb": 0.0,
+                "supersteps_observed": 0,
+            },
+        )
+        rec["supersteps_observed"] += 1
+        rec["peak_observed_state_rows"] = max(
+            rec["peak_observed_state_rows"], int(c["observed_state_rows"])
+        )
+        rec["peak_observed_state_parquet_mb"] = max(
+            rec["peak_observed_state_parquet_mb"], float(c["observed_state_parquet_mb"])
+        )
+    out = []
+    for rec in per_algo.values():
+        pred, obs = rec["predicted_state_mb"], rec["peak_observed_state_parquet_mb"]
+        if pred is not None and obs:
+            rec["state_mb_ratio"] = round(pred / obs, 3)
+            rec["within_documented_factor"] = (
+                ESTIMATE_RATIO_MIN <= rec["state_mb_ratio"] <= ESTIMATE_RATIO_MAX
+            )
+        out.append(rec)
+    return out
 
 
 _ROUNDTRIP_BASE: str | None = None

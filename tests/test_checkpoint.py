@@ -128,3 +128,32 @@ def test_wcc_star_resume_after_one_action_rework(spark, tmp_path):
     a = {(r["node_id"], r["component"]) for r in resumed.components.collect()}
     b = {(r["node_id"], r["component"]) for r in fresh.components.collect()}
     assert a == b
+
+
+def test_estimate_report_within_documented_factor(spark, tmp_path):
+    """predict()'s pre-run state model vs the observed committed state
+    (r5): the durable metrics now carry observed_state_rows +
+    observed_state_parquet_mb per superstep, and estimate_report compares
+    the in-memory prediction to the on-disk peak within the documented
+    [0.5, 32] compression factor."""
+    from graph_data_science_spark.pregel.superstep import (
+        ESTIMATE_RATIO_MAX,
+        ESTIMATE_RATIO_MIN,
+        estimate_report,
+    )
+    from graph_data_science_spark.transcripts import closed_form_link_graph
+
+    g = closed_form_link_graph(spark, 1500, cycle=True)
+    n = g.with_node_count()
+    ck = str(tmp_path / "ck_est")
+    res = pagerank(g, tolerance=0.0, max_iterations=4, checkpoint_dir=ck)
+    rep = estimate_report(res.loop.metrics())
+    assert len(rep) == 1
+    r = rep[0]
+    # superstep 0 commits the full init delta: the peak is exactly |V|
+    assert r["peak_observed_state_rows"] == n
+    assert r["supersteps_observed"] >= 3
+    assert r["predicted_state_mb"] == round(n * 32 / 1e6, 2)
+    assert r["peak_observed_state_parquet_mb"] > 0
+    assert ESTIMATE_RATIO_MIN <= r["state_mb_ratio"] <= ESTIMATE_RATIO_MAX
+    assert r["within_documented_factor"] is True

@@ -69,3 +69,36 @@ def test_lpa_sync_matches_sequential_on_disjoint_cliques(spark):
         assert len({labels[0], labels[1], labels[2]}) == 1
         assert len({labels[3], labels[4], labels[5]}) == 1
         assert labels[0] != labels[3]
+
+
+def test_gds_sequential_batched_equals_driver_kernel(spark):
+    """The partition-serial batched pass (used above the driver kernel's
+    100k cap) must be bit-equal to the driver kernel — same id-order
+    async visibility, chunked. Forced here with a tiny batch_size so
+    chunk boundaries fall mid-graph."""
+    import random
+
+    from graph_data_science_spark.algorithms.labelprop import (
+        _label_propagation_sequential,
+        _label_propagation_sequential_batched,
+    )
+    from graph_data_science_spark.graph.build import LinkGraph
+
+    rng = random.Random(3)
+    n = 60
+    edges = [
+        (u, v, 1.0 + (u + v) % 3)
+        for u in range(n)
+        for v in rng.sample(range(n), 4)
+        if u != v
+    ]
+    e = spark.createDataFrame(edges, "src long, dst long, weight double")
+    g = LinkGraph(edges=e, node_count=n)
+    for iters in (1, 3):
+        a = _label_propagation_sequential(g, iters, None, None)
+        b = _label_propagation_sequential_batched(g, iters, None, None, batch_size=17)
+        am = {r["node_id"]: r["label"] for r in a.labels.collect()}
+        bm = {r["node_id"]: r["label"] for r in b.labels.collect()}
+        assert am == bm, f"iters={iters}"
+        assert a.ran_iterations == b.ran_iterations
+        assert a.did_converge == b.did_converge

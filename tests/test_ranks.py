@@ -333,6 +333,58 @@ def test_rank_full_double_span_no_bucket_collapse(spark):
     assert nb > 1, "full-span doubles collapsed into one range bucket"
 
 
+def test_rank_depth_mode_bit_identity_and_balance(spark):
+    """Equi-depth (sampled-quantile) bucket mode: bit-identical ranks to
+    BOTH the naive window and the default width mode, and balanced
+    buckets on a distribution adversarial to equi-width (99% of values in
+    a tiny range + a handful of extreme outliers — width mode collapses
+    nearly everything into one bucket)."""
+    from graph_data_science_spark.graph.ranks import _bucketed
+
+    n = 4000
+    rows = [(float(i % 97) / 97.0, i) for i in range(n - 4)] + [
+        (1e9, n - 4), (2e9, n - 3), (3e9, n - 2), (4e9, n - 1)
+    ]
+    df = spark.createDataFrame(rows, "k double, tb long")
+    exp = _naive_rank(df, ["k", "tb"])
+    for mode in ("width", "depth"):
+        got = ordered_rank(df, ["k", "tb"], rank_col="_r", n_buckets=8, bucket_mode=mode)
+        mismatch = got.join(exp, ["k", "tb"]).filter(F.col("_r") != F.col("_exp")).count()
+        assert mismatch == 0, mode
+    sizes = {
+        mode: sorted(
+            r["c"]
+            for r in _bucketed(df, ["k"], (), 8, mode)
+            .groupBy("_rk_bucket").agg(F.count("*").alias("c")).collect()
+        )
+        for mode in ("width", "depth")
+    }
+    # width: the 0..1 mass lands in bucket 1 → max bucket ≈ n. depth:
+    # quantile boundaries split the dense range → max bucket ≪ n.
+    assert max(sizes["width"]) > 0.9 * n
+    assert max(sizes["depth"]) < 0.5 * n
+    assert len(sizes["depth"]) >= 4
+
+    # cumsum path too (integral values ⇒ exact)
+    got = ordered_cumsum(
+        df.withColumn("v", (F.col("tb") % 7).cast("long")),
+        ["k", "tb"], "v", cum_col="_c", n_buckets=8, bucket_mode="depth",
+    )
+    w = Window.orderBy("k", "tb").rowsBetween(Window.unboundedPreceding, 0)
+    exp2 = df.withColumn("v", (F.col("tb") % 7).cast("long")).withColumn(
+        "_exp", F.sum("v").over(w)
+    )
+    assert got.join(exp2, ["k", "tb"]).filter(F.col("_c") != F.col("_exp")).count() == 0
+
+
+def test_rank_depth_mode_invalid(spark):
+    import pytest
+
+    df = spark.range(10).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="bucket_mode"):
+        ordered_rank(df, ["k"], bucket_mode="quantile")
+
+
 def test_rank_partitioned_empty_and_null_classes(spark):
     """Empty-string and NULL partition values must rank correctly (the
     string-keyed offset map conflated/dropped them; now a typed
