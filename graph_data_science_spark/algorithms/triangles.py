@@ -83,24 +83,76 @@ def _orient(und: DataFrame, deg: DataFrame) -> DataFrame:
     )
 
 
+# Optional hot-key salting for the adj_v attach join (a node this many
+# oriented edges point AT gets its adjacency replicated across salts).
+# DEFAULT OFF (None): the hypothesis that the suite's triangle
+# strong-scaling loss was this join-key straggler was TESTED and
+# REFUTED — salting left the 4×4-executor wall unchanged (16.4 → 17.8 s,
+# `STANDALONE_SCALING_suite_tri_salted.json`) while the hot-detection
+# aggregate cost the 1×4 level ~40% (36.5 → 63.1 s); the non-scaling
+# component is the wedge intersect's memory-bandwidth demand on a
+# single host (MEMBW_PROBE.json: host memcpy scales 0.863 from 4→16
+# workers), which a multi-host cluster does not share. The machinery
+# stays for graphs where one key's row skew truly dominates — set a
+# finite threshold to enable.
+TRIANGLE_HOT_IN_DEGREE: int | None = None
+TRIANGLE_SALTS = 32
+
+
 def _oriented_triangles(oriented: DataFrame) -> DataFrame:
     """One row (x, y, z) per triangle, keyed by its lowest oriented edge:
     for each oriented edge (u, v), the closing corners are
     ``array_intersect(outAdj(u), outAdj(v))`` — every w there satisfies
     order(w) > order(v) > order(u), so no dedup filter is needed. The
     orientation's O(√m) out-degree bound caps both array widths and the
-    intersection work per edge (GraphIntersect's cursor bound)."""
+    intersection work per edge (GraphIntersect's cursor bound).
+
+    When ``TRIANGLE_HOT_IN_DEGREE`` is set (default off — see the
+    constant's note for the recorded negative result), mega-hubs get
+    their adj_v rows replicated across ``TRIANGLE_SALTS`` salts and
+    their fact rows spread by a hash of the OTHER endpoint; non-hot keys
+    join on salt 0 with zero replication. Results identical (the salt is
+    join-routing only)."""
     adj = oriented.groupBy("lo").agg(F.collect_list("hi").alias("nbrs"))
     adj_u = adj.select(F.col("lo"), F.col("nbrs").alias("nbrs_u"))
     adj_v = adj.select(F.col("lo").alias("hi"), F.col("nbrs").alias("nbrs_v"))
-    return (
-        oriented.join(adj_u, "lo")
-        .join(adj_v, "hi")  # inner: a hi with no out-neighbors closes nothing
-        .select(
-            F.col("lo").alias("x"),
-            F.col("hi").alias("y"),
-            F.explode(F.array_intersect("nbrs_u", "nbrs_v")).alias("z"),
+    with_u = oriented.join(adj_u, "lo")
+
+    hot_rows = (
+        oriented.groupBy("hi")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= TRIANGLE_HOT_IN_DEGREE)
+        .select("hi")
+        .collect()
+        if TRIANGLE_HOT_IN_DEGREE is not None
+        else []
+    )
+    if not hot_rows:
+        joined = with_u.join(adj_v, "hi")  # inner: a hi with no out-nbrs closes nothing
+    else:
+        hot = [int(r["hi"]) for r in hot_rows]
+        s = TRIANGLE_SALTS
+        fact = with_u.withColumn(
+            "_salt",
+            F.when(F.col("hi").isin(hot), F.pmod(F.xxhash64("lo"), F.lit(s))).otherwise(
+                F.lit(0)
+            ).cast("int"),
         )
+        adj_v_s = (
+            adj_v.withColumn(
+                "_salt_arr",
+                F.when(
+                    F.col("hi").isin(hot), F.sequence(F.lit(0), F.lit(s - 1))
+                ).otherwise(F.array(F.lit(0))),
+            )
+            .withColumn("_salt", F.explode("_salt_arr"))  # sequence/array are already int
+            .drop("_salt_arr")
+        )
+        joined = fact.join(adj_v_s, ["hi", "_salt"]).drop("_salt")
+    return joined.select(
+        F.col("lo").alias("x"),
+        F.col("hi").alias("y"),
+        F.explode(F.array_intersect("nbrs_u", "nbrs_v")).alias("z"),
     )
 
 

@@ -96,3 +96,20 @@ def test_lcc_max_degree_excluded_is_nan(spark):
     }
     assert math.isnan(rows[2])  # degree 3 → excluded
     assert rows[3] == 0.0
+
+
+def test_triangle_salted_hub_join_identical(spark, monkeypatch):
+    """The hot-key salted wedge join (mega-hub adj_v attach) must produce
+    identical triangles to the unsalted plan — forced on a fixture by
+    dropping the hot threshold to 1 so EVERY key salts."""
+    import importlib
+
+    mod = importlib.import_module("graph_data_science_spark.algorithms.triangles")
+    edges = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3), (3, 4), (2, 4), (0, 4), (4, 5)]
+    g = from_edge_list(spark, edges, node_count=6, orientation="undirected")
+    base = mod.triangle_count(g)
+    base_per = {r["node_id"]: r["triangles"] for r in base.per_node.collect()}
+    monkeypatch.setattr(mod, "TRIANGLE_HOT_IN_DEGREE", 1)
+    salted = mod.triangle_count(g)
+    assert salted.global_count == base.global_count
+    assert {r["node_id"]: r["triangles"] for r in salted.per_node.collect()} == base_per

@@ -85,40 +85,49 @@ def _graphs(spark, scale: float = 1.0):
     return chains, pl, ns_graph
 
 
+def _selected_ops() -> set:
+    raw = os.environ.get("SUITE_OPS", "wcc_star,triangle_count,node_similarity")
+    return {s.strip() for s in raw.split(",") if s.strip()}
+
+
 def _run_ops(spark, scale: float) -> dict:
     from graph_data_science_spark.algorithms.similarity import node_similarity
     from graph_data_science_spark.algorithms.triangles import triangle_count
     from graph_data_science_spark.algorithms.wcc import wcc_star
 
+    ops = _selected_ops()
     chains, pl, ns_graph = _graphs(spark, scale)
     out = {}
 
-    t0 = time.monotonic()
-    res = wcc_star(chains)
-    n_comp = res.components.select("component").distinct().count()
-    out["wcc_star"] = {
-        "wall_sec": round(time.monotonic() - t0, 2),
-        "edges": chains.relationship_count(),
-        "components": n_comp,
-        "rounds": res.ran_iterations,
-    }
+    if "wcc_star" in ops:
+        t0 = time.monotonic()
+        res = wcc_star(chains)
+        n_comp = res.components.select("component").distinct().count()
+        out["wcc_star"] = {
+            "wall_sec": round(time.monotonic() - t0, 2),
+            "edges": chains.relationship_count(),
+            "components": n_comp,
+            "rounds": res.ran_iterations,
+        }
 
-    t0 = time.monotonic()
-    tc = triangle_count(pl)
-    out["triangle_count"] = {
-        "wall_sec": round(time.monotonic() - t0, 2),
-        "edges": pl.relationship_count(),
-        "global_triangles": int(tc.global_count),
-    }
+    if "triangle_count" in ops:
+        t0 = time.monotonic()
+        tc = triangle_count(pl)
+        out["triangle_count"] = {
+            "wall_sec": round(time.monotonic() - t0, 2),
+            "edges": pl.relationship_count(),
+            "global_triangles": int(tc.global_count),
+        }
 
-    t0 = time.monotonic()
-    sim = node_similarity(ns_graph, metric="jaccard", top_k=10)
-    n_rows = sim.count()  # the action — MUST run before the wall is read
-    out["node_similarity"] = {
-        "wall_sec": round(time.monotonic() - t0, 2),
-        "edges": ns_graph.relationship_count(),
-        "rows": n_rows,
-    }
+    if "node_similarity" in ops:
+        t0 = time.monotonic()
+        sim = node_similarity(ns_graph, metric="jaccard", top_k=10)
+        n_rows = sim.count()  # the action — MUST run before the wall is read
+        out["node_similarity"] = {
+            "wall_sec": round(time.monotonic() - t0, 2),
+            "edges": ns_graph.relationship_count(),
+            "rows": n_rows,
+        }
     return out
 
 
@@ -178,6 +187,7 @@ def main() -> None:
             )
             with open(out) as fh:
                 levels[str(n_execs)] = json.load(fh)
+        out_name = os.environ.get("SUITE_OUT", "STANDALONE_SCALING_suite.json")
         record = {
             "protocol": (
                 "Spark standalone master + 1 worker on this host; level A = 1 "
@@ -195,11 +205,11 @@ def main() -> None:
             "levels": levels,
             "efficiency_1x4_to_4x4": {},
         }
-        for op in ("wcc_star", "triangle_count", "node_similarity"):
+        for op in sorted(_selected_ops()):
             wa = levels["1"]["ops"][op]["wall_sec"]
             wb = levels["4"]["ops"][op]["wall_sec"]
             record["efficiency_1x4_to_4x4"][op] = round(wa / (4.0 * wb), 3)
-        with open(os.path.join(ROOT, "STANDALONE_SCALING_suite.json"), "w") as fh:
+        with open(os.path.join(ROOT, out_name), "w") as fh:
             json.dump(record, fh, indent=1)
         print(json.dumps(record))
     finally:
